@@ -1,0 +1,128 @@
+"""Batched Hamming-distance descriptor matching on the MXU.
+
+TPU-native equivalent of the reference ORBmatcher's per-pair popcount
+loops (reference: src/ORBmatcher.cc:1794 DescriptorDistance; thresholds
+TH_HIGH=100/TH_LOW=50/HISTO_LENGTH=30 at :40-42). The key re-design:
+256-bit descriptors are stored as 0/1 vectors, mapped to +-1, and the
+entire NA x NB distance matrix becomes ONE matmul:
+
+    dot(a_pm, b_pm) = 256 - 2 * hamming(a, b)
+
++-1 products are exact in bf16 and accumulate in f32 int-exactly
+(values <= 256), so the MXU computes exact Hamming distances at
+bf16 throughput. Spatial search windows (SearchByProjection et al.)
+become masks on the distance matrix instead of per-cell candidate lists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_BINS = 30
+
+
+def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
+    """[NA, 256] x [NB, 256] (0/1 int8) -> [NA, NB] Hamming distances (f32).
+
+    One MXU matmul; exact (see module docstring).
+    """
+    a = (desc_a.astype(jnp.bfloat16) * 2 - 1)
+    b = (desc_b.astype(jnp.bfloat16) * 2 - 1)
+    dot = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (N_BITS - dot) * 0.5
+
+
+def match_best(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    pair_mask: jax.Array | None = None,
+    max_dist: float = TH_LOW,
+    ratio: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Best-match search A -> B with optional candidate mask and
+    best/second-best ratio test (the reference's mfNNratio gate).
+
+    pair_mask: [NA, NB] bool of allowed candidate pairs (e.g. spatial
+    search window, BoW node equality, epipolar band). None = all.
+
+    Returns (idx_b [NA] i32, dist [NA] f32, ok [NA] bool).
+    """
+    D = hamming_matrix(desc_a, desc_b)
+    big = jnp.asarray(1e9, D.dtype)
+    bad = ~(valid_a[:, None] & valid_b[None, :])
+    if pair_mask is not None:
+        bad = bad | ~pair_mask
+    D = jnp.where(bad, big, D)
+
+    # best and second-best along B
+    neg_top2, idx_top2 = jax.lax.top_k(-D, 2)
+    best = -neg_top2[:, 0]
+    second = -neg_top2[:, 1]
+    idx = idx_top2[:, 0]
+    ok = valid_a & (best <= max_dist)
+    if ratio < 1.0:
+        ok = ok & (best <= ratio * second)
+    return idx.astype(jnp.int32), best, ok
+
+
+def mutual_filter(
+    idx_ab: jax.Array, ok_ab: jax.Array, idx_ba: jax.Array, ok_ba: jax.Array
+) -> jax.Array:
+    """Keep only mutual best matches (cross-check)."""
+    nb = idx_ba.shape[0]
+    back = jnp.where((idx_ab >= 0) & (idx_ab < nb), idx_ba[jnp.clip(idx_ab, 0, nb - 1)], -1)
+    back_ok = jnp.where((idx_ab >= 0) & (idx_ab < nb), ok_ba[jnp.clip(idx_ab, 0, nb - 1)], False)
+    return ok_ab & back_ok & (back == jnp.arange(idx_ab.shape[0]))
+
+
+def rotation_consistency(
+    angle_a: jax.Array,
+    angle_b: jax.Array,
+    idx_ab: jax.Array,
+    ok: jax.Array,
+    n_keep_bins: int = 3,
+) -> jax.Array:
+    """Keep matches whose orientation difference falls in the 3 dominant
+    histogram bins (reference: ORBmatcher::ComputeThreeMaxima +
+    mbCheckOrientation, src/ORBmatcher.cc)."""
+    nb = angle_b.shape[0]
+    rot = angle_a - angle_b[jnp.clip(idx_ab, 0, nb - 1)]
+    # wrap to [0, 2pi)
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(rot, two_pi)
+    bins = jnp.clip((rot * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros((HISTO_BINS,), jnp.float32).at[bins].add(jnp.where(ok, 1.0, 0.0))
+    _, top_bins = jax.lax.top_k(hist, n_keep_bins)
+    in_top = (bins[:, None] == top_bins[None, :]).any(axis=1)
+    return ok & in_top
+
+
+def window_mask(
+    xy_a: jax.Array, xy_b: jax.Array, radius: jax.Array | float
+) -> jax.Array:
+    """[NA, NB] mask: b within `radius` px of a's predicted position.
+
+    radius may be scalar or per-A (e.g. scale-dependent th*scaleFactor^level
+    as in SearchByProjection)."""
+    d2 = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    r = jnp.asarray(radius)
+    r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
+    return d2 <= r2
+
+
+def level_mask(level_a: jax.Array, level_b: jax.Array, tol: int = 1) -> jax.Array:
+    """[NA, NB] mask: pyramid levels within tolerance (the reference's
+    octave gating in projection search)."""
+    return jnp.abs(level_a[:, None] - level_b[None, :]) <= tol

@@ -1,0 +1,137 @@
+"""Basic image filtering primitives (separable convs, resize, gradients).
+
+These are the building blocks for the pyramid / FAST / BRIEF / KLT ops
+that replace the reference's OpenCV calls (cv::GaussianBlur,
+cv::buildOpticalFlowPyramid, cv::Sobel). Written as separable
+`lax.conv_general_dilated` ops so XLA fuses and tiles them; images are
+[H, W] f32 single-channel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _conv1d(img: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
+    """Convolve [H, W] image along one axis with SAME (replicate-free,
+    zero) padding... but use edge-replicate padding to match OpenCV's
+    BORDER_REFLECT_101 closely enough at borders (we pad manually)."""
+    k = kernel.shape[0]
+    pad = k // 2
+    if axis == 0:
+        img_p = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+        lhs = img_p[None, None, :, :]
+        rhs = kernel.reshape(1, 1, k, 1)
+    else:
+        img_p = jnp.pad(img, ((0, 0), (pad, pad)), mode="reflect")
+        lhs = img_p[None, None, :, :]
+        rhs = kernel.reshape(1, 1, 1, k)
+    out = lax.conv_general_dilated(
+        lhs, rhs.astype(img.dtype), window_strides=(1, 1), padding="VALID",
+        precision=lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+@functools.lru_cache(maxsize=32)
+def _gaussian_kernel_np(ksize: int, sigma: float) -> tuple:
+    if sigma <= 0:
+        # OpenCV convention: sigma from ksize
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    half = ksize // 2
+    xs = [float(i - half) for i in range(ksize)]
+    vals = [math.exp(-0.5 * (x / sigma) ** 2) for x in xs]
+    s = sum(vals)
+    return tuple(v / s for v in vals)
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur, BORDER_REFLECT_101-style padding
+    (matches the pre-BRIEF blur in the reference,
+    src/ORBextractor.cc:840-847: GaussianBlur(7,7,2,2))."""
+    k = jnp.asarray(_gaussian_kernel_np(ksize, sigma), dtype=img.dtype)
+    return _conv1d(_conv1d(img, k, 0), k, 1)
+
+
+def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sobel dx, dy with 3x3 kernels (for Harris score / KLT)."""
+    smooth = jnp.asarray([1.0, 2.0, 1.0], dtype=img.dtype)
+    diff = jnp.asarray([-1.0, 0.0, 1.0], dtype=img.dtype)
+    gx = _conv1d(_conv1d(img, smooth, 0), diff, 1)
+    gy = _conv1d(_conv1d(img, diff, 0), smooth, 1)
+    return gx, gy
+
+
+def scharr_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Scharr dx, dy (cv::buildOpticalFlowPyramid uses Scharr-like
+    derivative conditioning in LK; we use Scharr for KLT gradients)."""
+    smooth = jnp.asarray([3.0, 10.0, 3.0], dtype=img.dtype) / 16.0
+    diff = jnp.asarray([-1.0, 0.0, 1.0], dtype=img.dtype) / 2.0
+    gx = _conv1d(_conv1d(img, smooth, 0), diff, 1)
+    gy = _conv1d(_conv1d(img, diff, 0), smooth, 1)
+    return gx, gy
+
+
+def box_filter(img: jax.Array, ksize: int) -> jax.Array:
+    k = jnp.ones((ksize,), dtype=img.dtype) / ksize
+    return _conv1d(_conv1d(img, k, 0), k, 1)
+
+
+def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize to (H', W') (pyramid levels; cv::resize INTER_LINEAR)."""
+    return jax.image.resize(img, out_hw, method="linear")
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """cv::pyrDown-style: 5-tap Gaussian then 2x decimation."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=img.dtype) / 16.0
+    sm = _conv1d(_conv1d(img, k, 0), k, 1)
+    return sm[::2, ::2]
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array, pad_value: float = 0.0) -> jax.Array:
+    """Sample image [H, W] at continuous (x, y) locations [..., 2].
+
+    Out-of-bounds samples return `pad_value`. Used by KLT patch extraction
+    and descriptor sampling; gathers are VPU work XLA handles natively.
+    """
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def at(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(valid, v, pad_value)
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x0i + 1)
+    v10 = at(y0i + 1, x0i)
+    v11 = at(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def nearest_sample(img: jax.Array, xy: jax.Array, pad_value: float = 0.0) -> jax.Array:
+    """Nearest-neighbor sample at (x, y) [..., 2] with OOB -> pad_value."""
+    H, W = img.shape
+    xi = jnp.round(xy[..., 0]).astype(jnp.int32)
+    yi = jnp.round(xy[..., 1]).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return jnp.where(valid, v, pad_value)
