@@ -1,0 +1,80 @@
+"""Benchmark: tracking + local-BA throughput on a synthetic Aqualoc-like
+sequence, single TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/20}
+
+Baseline = the reference's implicit real-time budget: 20 fps camera rate
+on CPU (BASELINE.md). The sequence mimics Aqualoc harbor geometry:
+512x640 frames, 400 features, 20 fps camera; ATE sanity is asserted so
+the number is only reported for a *working* tracker.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from uvipslam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from uvipslam_tpu.frontend.device_tracker import WORKING, build_tracker
+    from uvipslam_tpu.frontend.tracker import TrackerConfig
+    from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence
+    from uvipslam_tpu.models.camera import CameraModel
+
+    N_FRAMES = 60
+    seq = make_sequence(
+        n_frames=N_FRAMES, H=512, W=640, n_points=6000, seed=7, speed=1.2,
+    )
+    cam = CameraModel.create(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2],
+        width=640, height=512,
+    )
+    cfg = TrackerConfig(n_tracks=400, min_init_tracks=100, local_window=8)
+    st, step = build_tracker(cam, cfg, kf_cap=64, pt_cap=8192)
+
+    t_start = time.time()
+    imgs = jnp.asarray(seq.images)
+    outs = []
+    frame_times = []
+    for f in range(N_FRAMES):
+        t0 = time.time()
+        st, out = step(st, imgs[f])
+        jax.block_until_ready(st.tcw)
+        frame_times.append(time.time() - t0)
+        outs.append(out)
+
+    states = np.asarray([int(o.state) for o in outs])
+    working = states == WORKING
+    Rs = np.stack([np.asarray(o.Rcw, np.float64) for o in outs])
+    ts = np.stack([np.asarray(o.tcw, np.float64) for o in outs])
+    C = np.stack([-Rs[i].T @ ts[i] for i in range(len(outs))])
+    ate = -1.0
+    if working.sum() > 5:
+        ate, _ = ate_rmse(C[working], seq.positions_w[np.nonzero(working)[0]])
+
+    steady = [t for f, t in enumerate(frame_times) if f >= 20]
+    fps = 1.0 / float(np.median(steady))
+
+    print(json.dumps({
+        "metric": "mono tracking+local-BA fps (512x640, 400 feats, synthetic Aqualoc-like)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 20.0, 3),
+        "extra": {
+            "frames_tracked": int(working.sum()),
+            "n_frames": N_FRAMES,
+            "ate_m": round(float(ate), 4),
+            "total_wall_s": round(time.time() - t_start, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,8 @@ class NavState:
             self,
             p=self.p + lie.mv(self.R, dp),
             v=self.v + dv,
-            R=lie.mm(self.R, lie.so3_exp(dphi)),
+            # renormalized: repeated f32 retractions otherwise decay R
+            R=lie.normalize_rotation(lie.mm(self.R, lie.so3_exp(dphi))),
         )
 
     def inc_small_bias(self, upd6: jax.Array) -> "NavState":

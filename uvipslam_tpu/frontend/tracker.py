@@ -1,0 +1,568 @@
+"""The tracking pipeline: per-frame state machine over jitted phases.
+
+TPU-native equivalent of the reference Tracking thread
+(reference: src/Tracking.cc — states NOT_INITIALIZED/INITIALIZING/
+WORKING/LOST, src/Tracking.h:85-94) plus the parts of LocalMapping that
+the per-frame loop depends on (keyframe insertion, triangulation of new
+landmarks, window BA — reference: src/LocalMapping.cc). The reference's
+4-thread + global-map-lock design already serializes the pipeline
+(src/Tracking.cc:419), so a single functional step preserves behavior
+while staying deterministic and jittable.
+
+This module hosts the MONO pipeline (reference Mode=0); the VI(P) layers
+build on it (vio/). Host Python only reads a handful of scalars per
+frame (state transitions); every compute phase is a jitted function over
+fixed-shape pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.lie import mm, mv
+from uvipslam_tpu.frontend.frame import Tracks, propagate_tracks, refill_tracks
+from uvipslam_tpu.mapstate.map import MapState
+from uvipslam_tpu.models.camera import CameraModel
+from uvipslam_tpu.ops import hamming
+from uvipslam_tpu.ops.clahe import clahe
+from uvipslam_tpu.ops.klt import build_flow_pyramid
+from uvipslam_tpu.ops.twoview import (
+    find_fundamental,
+    reconstruct_from_fundamental,
+    triangulate_linear,
+)
+from uvipslam_tpu.solver.local_ba import local_ba_se3
+from uvipslam_tpu.solver.pose_opt import pose_optimization_se3
+
+# tracking states (reference: include/Tracking.h:85-94)
+NOT_INITIALIZED = 0
+INITIALIZING = 1
+WORKING = 2
+LOST = 3
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    n_tracks: int = 400
+    n_levels_klt: int = 5
+    klt_win: int = 21
+    klt_iters: int = 10
+    px_distance: int = 20
+    min_init_tracks: int = 100
+    min_tracked: int = 20
+    kf_min_interval: int = 3
+    kf_max_interval: int = 15
+    kf_track_ratio: float = 0.9
+    local_window: int = 8
+    ba_obs_cap: int = 8192
+    scale_sigmas: tuple = tuple((1.2 ** (2 * i)) for i in range(8))
+    enhance: bool = False
+
+
+class MonoTracker:
+    """Host-side orchestration of the mono VO pipeline."""
+
+    def __init__(self, cam: CameraModel, cfg: TrackerConfig | None = None,
+                 kf_cap: int = 128, pt_cap: int = 8192, seed: int = 0):
+        self.cam = cam
+        self.cfg = cfg or TrackerConfig()
+        self.state = NOT_INITIALIZED
+        self.tracks = Tracks.empty(self.cfg.n_tracks)
+        self.map = MapState.empty(kf_cap, pt_cap, self.cfg.n_tracks)
+        self.pyr_prev = None
+        self.frame_id = -1
+        self.key = jax.random.PRNGKey(seed)
+        # current camera pose Tcw
+        self.Rcw = jnp.eye(3, dtype=jnp.float32)
+        self.tcw = jnp.zeros(3, jnp.float32)
+        # motion model: velocity transform last->cur
+        self.R_vel = jnp.eye(3, dtype=jnp.float32)
+        self.t_vel = jnp.zeros(3, jnp.float32)
+        self.init_tracks = None     # snapshot at INITIALIZING entry
+        self.init_frame_id = -1
+        # ring buffer of recent frame camera poses (for birth-pose
+        # triangulation of new landmarks)
+        self.RING = 64
+        self.ring_R = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (self.RING, 1, 1))
+        self.ring_t = jnp.zeros((self.RING, 3), jnp.float32)
+        self.ring_frame = jnp.full((self.RING,), -1, jnp.int32)
+        self.last_kf_slot = -1
+        self.last_kf_frame = -1
+        self.last_kf_tracks = None  # snapshot of tracks at last KF
+        self.n_ref_tracked = 0
+        self.trajectory = []        # (frame_id, Rcw, tcw) after each frame
+
+    # ------------------------------------------------------------------
+    def _split(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def process_frame(self, img: np.ndarray):
+        """Feed one grayscale frame [H, W] f32. Returns dict of status."""
+        self.frame_id += 1
+        img = jnp.asarray(img, jnp.float32)
+        if self.cfg.enhance:
+            img = clahe(img)
+        pyr = tuple(build_flow_pyramid(img, self.cfg.n_levels_klt))
+
+        if self.pyr_prev is not None and self.state != NOT_INITIALIZED:
+            guess, guess_ok = self._motion_guesses()
+            self.tracks = propagate_tracks(
+                self.tracks, self.pyr_prev, pyr, guess, guess_ok, self._split(),
+                win=self.cfg.klt_win, iters=self.cfg.klt_iters,
+                levels=self.cfg.n_levels_klt,
+            )
+
+        status = {}
+        if self.state == NOT_INITIALIZED:
+            self.tracks = refill_tracks(
+                self.tracks, img, self.frame_id,
+                n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
+            )
+            self.tracks = self._undistort(self.tracks)
+            n = int(jnp.sum(self.tracks.valid))
+            if n >= self.cfg.min_init_tracks:
+                self.tracks = dataclasses.replace(
+                    self.tracks,
+                    birth_frame=jnp.full_like(self.tracks.birth_frame, self.frame_id),
+                    birth_xy_und=self.tracks.xy_und,
+                )
+                self.init_frame_id = self.frame_id
+                self.state = INITIALIZING
+            status.update(state="NOT_INITIALIZED", n_tracks=n)
+
+        elif self.state == INITIALIZING:
+            self.tracks = self._undistort(self.tracks)
+            ok = self._try_initialize()
+            if not ok:
+                # top-up and keep trying; if too few survivors, restart
+                n = int(jnp.sum(self.tracks.valid & (self.tracks.birth_frame == self.init_frame_id)))
+                if n < self.cfg.min_init_tracks // 2 or self.frame_id - self.init_frame_id > 30:
+                    self.state = NOT_INITIALIZED
+                    self.tracks = Tracks.empty(self.cfg.n_tracks)
+            status.update(state="INITIALIZING", initialized=ok)
+
+        elif self.state == WORKING:
+            self.tracks = self._undistort(self.tracks)
+            n_in = self._track_frame()
+            if n_in < self.cfg.min_tracked:
+                self.state = LOST
+                status.update(state="LOST", n_inliers=int(n_in))
+            else:
+                self.tracks = refill_tracks(
+                    self.tracks, img, self.frame_id,
+                    n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
+                )
+                self.tracks = self._undistort(self.tracks)
+                newborn = self.tracks.birth_frame == self.frame_id
+                self.tracks = dataclasses.replace(
+                    self.tracks,
+                    birth_xy_und=jnp.where(
+                        newborn[:, None], self.tracks.xy_und, self.tracks.birth_xy_und
+                    ),
+                )
+                if self._need_keyframe(n_in):
+                    self._create_keyframe()
+                status.update(state="WORKING", n_inliers=int(n_in))
+
+        elif self.state == LOST:
+            status.update(state="LOST")
+
+        self.pyr_prev = pyr
+        if self.state == WORKING:
+            slot = self.frame_id % self.RING
+            self.ring_R = self.ring_R.at[slot].set(self.Rcw)
+            self.ring_t = self.ring_t.at[slot].set(self.tcw)
+            self.ring_frame = self.ring_frame.at[slot].set(self.frame_id)
+            self.trajectory.append(
+                (self.frame_id, np.asarray(self.Rcw), np.asarray(self.tcw))
+            )
+        return status
+
+    # ------------------------------------------------------------------
+    def _undistort(self, tracks: Tracks) -> Tracks:
+        return dataclasses.replace(
+            tracks, xy_und=self.cam.undistort_pixels(tracks.xy)
+        )
+
+    def _motion_guesses(self):
+        """Project associated landmarks with the motion-model pose as KLT
+        initial guesses (reference: src/Tracking.cc:986-1033)."""
+        Rp = mm(self.R_vel, self.Rcw)
+        tp = mv(self.R_vel, self.tcw) + self.t_vel
+        return _motion_guess_jit(
+            self.tracks, self.map, Rp, tp,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+        )
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self) -> bool:
+        """H/F two-view bootstrap (reference: Tracking::Initialize +
+        Initializer, src/Tracking.cc:1316-1525). Round-1: F path."""
+        t = self.tracks
+        cand = t.valid & (t.birth_frame == self.init_frame_id)
+        if int(jnp.sum(cand)) < self.cfg.min_init_tracks // 2:
+            return False
+
+        F, score, inl = find_fundamental(
+            self._split(), t.birth_xy_und, t.xy_und, cand, sigma=1.0
+        )
+        K = self.cam.K
+        rec = reconstruct_from_fundamental(F, K, t.birth_xy_und, t.xy_und, inl)
+        if not bool(rec["ok"]):
+            return False
+
+        # median-depth normalization (reference: CreateInitialMap
+        # :1484-1508)
+        good = rec["good"]
+        z = rec["points"][:, 2]
+        med = jnp.nanmedian(jnp.where(good, z, jnp.nan))
+        med = jnp.nan_to_num(med, nan=1.0)
+        scale = 1.0 / jnp.maximum(med, 1e-6)
+        pts3 = rec["points"] * scale
+        R, tvec = rec["R"], rec["t"] * scale
+
+        # build the initial map: KF0 (identity) + KF1 (R, t)
+        m = self.map
+        ns0 = _cam_pose_to_ns(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        ns1 = _cam_pose_to_ns(R, tvec)
+
+        # landmark ids assigned to good tracks
+        n_feat = t.n_slots
+        desc = t.desc
+        normals = pts3 / jnp.maximum(jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9)
+        dist = jnp.linalg.norm(pts3, axis=-1)
+        m, ids = m.add_points(
+            pts3, desc, normals,
+            dist / 2.0, dist * 2.0, jnp.asarray(0), self.frame_id, good,
+        )
+        feat_pt = jnp.where(good, ids, -1)
+
+        zero_pre = self.map.kf_preint
+        zero_pre1 = jax.tree_util.tree_map(lambda a: a[0], zero_pre)
+        m, k0 = m.add_keyframe(
+            ns0, jnp.asarray(0.0), jnp.asarray(self.init_frame_id),
+            t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+            jnp.asarray(0.0), jnp.asarray(False), zero_pre1, jnp.asarray(-1),
+        )
+        m, k1 = m.add_keyframe(
+            ns1, jnp.asarray(0.0), jnp.asarray(self.frame_id),
+            t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+            jnp.asarray(0.0), jnp.asarray(False), zero_pre1, k0,
+        )
+
+        # initial global BA (reference: GlobalBundleAdjustemnt(map, 20))
+        m = self._run_local_ba(m, fixed_slots=[0])
+
+        self.map = m
+        self.tracks = dataclasses.replace(t, pt_id=jnp.where(good, feat_pt, -1))
+        ns1_new = jax.tree_util.tree_map(lambda a: a[1], m.kf_ns)
+        self.Rcw, self.tcw = _ns_to_cam_pose(ns1_new)
+        self.R_vel = jnp.eye(3)
+        self.t_vel = jnp.zeros(3)
+        self.last_kf_slot = int(k1)
+        self.last_kf_frame = self.frame_id
+        self.last_kf_tracks = self.tracks
+        self.n_ref_tracked = int(jnp.sum(good))
+        # record the init-frame pose (identity) so tracks born then can
+        # triangulate against their birth pose
+        slot0 = self.init_frame_id % self.RING
+        self.ring_R = self.ring_R.at[slot0].set(jnp.eye(3, dtype=jnp.float32))
+        self.ring_t = self.ring_t.at[slot0].set(jnp.zeros(3, jnp.float32))
+        self.ring_frame = self.ring_frame.at[slot0].set(self.init_frame_id)
+        self.state = WORKING
+        return True
+
+    # ------------------------------------------------------------------
+    def _track_frame(self) -> int:
+        """Pose opt on associated tracks, then local-map search + second
+        pose opt (reference: TrackWithPnP/TrackPreviousFrame +
+        TrackLocalMap, src/Tracking.cc:1837-2073)."""
+        Rp = mm(self.R_vel, self.Rcw)
+        tp = mv(self.R_vel, self.tcw) + self.t_vel
+
+        R1, t1, inlier1, n1, tracks2 = _pose_and_localmap_jit(
+            self.tracks, self.map, Rp, tp,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+        )
+        n1 = int(n1)
+        if n1 < self.cfg.min_tracked:
+            return n1
+        # motion model update
+        R_prev, t_prev = self.Rcw, self.tcw
+        self.Rcw, self.tcw = lie.normalize_rotation(R1), t1
+        Rinv, tinv = lie.se3_inverse(R_prev, t_prev)
+        R_vel, self.t_vel = lie.se3_compose(R1, t1, Rinv, tinv)
+        self.R_vel = lie.normalize_rotation(R_vel)
+        self.tracks = tracks2
+        return n1
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, n_in: int) -> bool:
+        """(reference: NeedNewKeyFrame, src/Tracking.cc:2076-2148)"""
+        since = self.frame_id - self.last_kf_frame
+        if since < self.cfg.kf_min_interval:
+            return False
+        if since >= self.cfg.kf_max_interval:
+            return True
+        return n_in < self.cfg.kf_track_ratio * max(self.n_ref_tracked, 1)
+
+    def _create_keyframe(self):
+        """Insert KF, triangulate new landmarks vs last KF, run window BA
+        (reference: CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame/
+        CreateNewMapPoints/Local BA)."""
+        t = self.tracks
+        m = self.map
+        ns = _cam_pose_to_ns(self.Rcw, self.tcw)
+        zero_pre1 = jax.tree_util.tree_map(lambda a: a[0], MapState.empty(1, 1, 1).kf_preint)
+
+        # triangulate landmark-less tracks between their birth pose and now
+        m, t = _triangulate_new_jit(
+            m, t, self.ring_R, self.ring_t, self.ring_frame,
+            self.Rcw, self.tcw,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.frame_id, jnp.int32),
+            jnp.asarray(self.last_kf_slot, jnp.int32),
+        )
+
+        m, k = m.add_keyframe(
+            ns, jnp.asarray(float(self.frame_id)), jnp.asarray(self.frame_id),
+            t.xy_und, t.desc, t.level, t.angle, t.valid,
+            t.pt_id, jnp.asarray(0.0), jnp.asarray(False),
+            zero_pre1, jnp.asarray(self.last_kf_slot, jnp.int32),
+        )
+        m = self._run_local_ba(m)
+        self.map = m
+        self.tracks = t
+        # refresh pose from BA result
+        k_int = int(k)
+        ns_k = jax.tree_util.tree_map(lambda a: a[k_int], m.kf_ns)
+        self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+        self.last_kf_slot = k_int
+        self.last_kf_frame = self.frame_id
+        self.last_kf_tracks = self.tracks
+        self.n_ref_tracked = int(jnp.sum(t.valid & (t.pt_id >= 0)))
+
+    # ------------------------------------------------------------------
+    def _run_local_ba(self, m: MapState, fixed_slots=None) -> MapState:
+        """Window BA over the last `local_window` KFs; earlier KFs fixed
+        (reference: Optimizer::LocalBundleAdjustment)."""
+        n_kf = int(m.n_kf)
+        lo = max(0, n_kf - self.cfg.local_window)
+        kf_idx = jnp.arange(m.kf_cap)
+        in_window = (kf_idx >= lo) & (kf_idx < n_kf)
+        fixed = m.kf_valid & ~in_window
+        if fixed_slots:
+            fixed = fixed.at[jnp.asarray(fixed_slots)].set(True)
+        # mono gauge: always pin the first two keyframes — fixes both the
+        # SE3 gauge and the scale gauge (via the init baseline), like the
+        # reference keeps pKF0 fixed and the init map scale-normalized
+        fixed = fixed.at[0].set(True)
+        fixed = fixed.at[1].set(m.kf_valid[1])
+
+        m2 = _local_ba_jit(
+            m, fixed, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+        )
+        return m2
+
+    # ------------------------------------------------------------------
+    def trajectory_positions(self) -> np.ndarray:
+        """Camera centers (world) for ATE evaluation."""
+        out = []
+        for _, R, t in self.trajectory:
+            out.append(-R.T @ t)
+        return np.asarray(out)
+
+
+# ===========================================================================
+# jitted phases
+# ===========================================================================
+
+
+def _cam_pose_to_ns(Rcw, tcw):
+    """Store camera pose in the NavState slot (MONO mode: body == camera,
+    NavState.R = Rwc, p = camera center)."""
+    from uvipslam_tpu.core.state import NavState
+
+    Rwc = jnp.swapaxes(Rcw, -1, -2)
+    C = -mv(Rwc, tcw)
+    ns = NavState.identity(dtype=tcw.dtype)
+    return dataclasses.replace(ns, p=C, R=Rwc)
+
+
+def _ns_to_cam_pose(ns):
+    Rcw = jnp.swapaxes(ns.R, -1, -2)
+    tcw = -mv(Rcw, ns.p)
+    return Rcw, tcw
+
+
+@jax.jit
+def _motion_guess_jit(tracks: Tracks, m: MapState, Rp, tp, fx, fy, cx, cy):
+    has_pt = tracks.valid & (tracks.pt_id >= 0)
+    pid = jnp.clip(tracks.pt_id, 0, m.pt_cap - 1)
+    pw = m.pt_xyz[pid]
+    pc = mv(Rp, pw) + tp
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+    uv = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
+    ok = has_pt & (pc[:, 2] > 0.1)
+    return uv, ok
+
+
+@jax.jit
+def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
+                           fx, fy, cx, cy, scale_sigmas):
+    """Pose-opt on current associations, then project local map landmarks
+    and associate unmatched tracks by descriptor, then re-optimize."""
+    dtype = tp.dtype
+    has_pt = tracks.valid & (tracks.pt_id >= 0)
+    pid = jnp.clip(tracks.pt_id, 0, m.pt_cap - 1)
+    pw = m.pt_xyz[pid]
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
+
+    R1, t1, inl1, n1 = pose_optimization_se3(
+        Rp, tp, pw, tracks.xy_und, has_pt & m.pt_valid[pid], inv_sig,
+        fx, fy, cx, cy,
+    )
+
+    # --- local map search (SearchByProjection vs local points) ---
+    # local points: seen by any valid KF (capacity is small in round 1;
+    # restriction to covisible KFs comes with the covisibility query)
+    local_pts = m.pt_valid
+    pc = mv(R1, m.pt_xyz) + t1
+    z = pc[:, 2]
+    zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    proj = jnp.stack([fx * pc[:, 0] / zsafe + cx, fy * pc[:, 1] / zsafe + cy], -1)
+    vis = local_pts & (z > 0.1)
+
+    # candidate pairs: unassociated tracks x visible points within radius
+    free = tracks.valid & (tracks.pt_id < 0)
+    pair = hamming.window_mask(tracks.xy_und, proj, 9.0)
+    idx, dist, ok = hamming.match_best(
+        tracks.desc, m.pt_desc, free, vis, pair_mask=pair,
+        max_dist=hamming.TH_HIGH, ratio=0.9,
+    )
+    # one-to-one: keep best track per landmark (avoid double assignment)
+    # scatter-min by distance
+    INF = jnp.asarray(1e9, dtype)
+    best_per_pt = jnp.full((m.pt_cap,), INF).at[jnp.where(ok, idx, m.pt_cap - 1)].min(
+        jnp.where(ok, dist, INF)
+    )
+    keep = ok & (dist <= best_per_pt[idx])
+    new_pt = jnp.where(keep, idx, tracks.pt_id)
+    tracks2 = dataclasses.replace(tracks, pt_id=new_pt.astype(jnp.int32))
+
+    # --- second pose optimization with enlarged associations ---
+    has2 = tracks2.valid & (tracks2.pt_id >= 0)
+    pid2 = jnp.clip(tracks2.pt_id, 0, m.pt_cap - 1)
+    pw2 = m.pt_xyz[pid2]
+    R2, t2, inl2, n2 = pose_optimization_se3(
+        R1, t1, pw2, tracks2.xy_und, has2 & m.pt_valid[pid2],
+        1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
+        fx, fy, cx, cy,
+    )
+    # Associations of per-frame outliers are KEPT (the reference keeps
+    # mvpMapPoints and only flags mvbOutlier for the current solve) —
+    # dropping them permanently creates a death spiral: the peripheral
+    # landmarks that constrain the z/scale direction gate out first, the
+    # pose drifts further along the weakened direction, more gate out.
+    # Only associations with truly hopeless reprojection are severed.
+    pc2 = mv(R2, pw2) + t2
+    z2 = jnp.where(jnp.abs(pc2[..., 2]) < 1e-6, 1e-6, pc2[..., 2])
+    uv2 = jnp.stack([fx * pc2[..., 0] / z2 + cx, fy * pc2[..., 1] / z2 + cy], -1)
+    err2 = jnp.sum((uv2 - tracks2.xy_und) ** 2, -1)
+    hopeless = has2 & ((err2 > 100.0) | (pc2[..., 2] <= 0))
+    tracks3 = dataclasses.replace(
+        tracks2, pt_id=jnp.where(hopeless, -1, tracks2.pt_id)
+    )
+    return R2, t2, inl2, n2, tracks3
+
+
+@jax.jit
+def _triangulate_new_jit(m: MapState, t: Tracks, ring_R, ring_t, ring_frame,
+                         Rcw, tcw, fx, fy, cx, cy, frame_id, ref_kf_slot):
+    """Create landmarks from landmark-less tracks by triangulating their
+    BIRTH observation (pose from the recent-pose ring buffer) against the
+    current frame (reference: LocalMapping::CreateNewMapPoints — the
+    correspondence search is free here thanks to KLT track identity; the
+    same cheirality/parallax/reprojection gates apply)."""
+    dtype = tcw.dtype
+    RING = ring_frame.shape[0]
+    slot = jnp.mod(t.birth_frame, RING)
+    ring_ok = ring_frame[slot] == t.birth_frame  # birth pose still in ring
+    R1 = ring_R[slot]        # [N, 3, 3]
+    t1 = ring_t[slot]        # [N, 3]
+
+    min_baseline_frames = 3
+    cand = (
+        t.valid & (t.pt_id < 0) & ring_ok
+        & (frame_id - t.birth_frame >= min_baseline_frames)
+    )
+    K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype)
+    P1 = jnp.einsum("ij,njk->nik", K, jnp.concatenate([R1, t1[:, :, None]], -1),
+                    precision=jax.lax.Precision.HIGHEST)
+    P2 = mm(K, jnp.concatenate([Rcw, tcw[:, None]], 1))
+    X = triangulate_linear(P1, P2, t.birth_xy_und, t.xy_und)
+
+    pc1 = mv(R1, X) + t1
+    z1 = pc1[:, 2]
+    zs1 = jnp.where(jnp.abs(z1) < 1e-6, 1e-6, z1)
+    uv1 = jnp.stack([fx * pc1[:, 0] / zs1 + cx, fy * pc1[:, 1] / zs1 + cy], -1)
+    reproj1 = jnp.sum((uv1 - t.birth_xy_und) ** 2, -1)
+
+    pc2 = mv(Rcw, X) + tcw
+    z2 = pc2[:, 2]
+    zs = jnp.where(jnp.abs(z2) < 1e-6, 1e-6, z2)
+    uv2 = jnp.stack([fx * pc2[:, 0] / zs + cx, fy * pc2[:, 1] / zs + cy], -1)
+    reproj2 = jnp.sum((uv2 - t.xy_und) ** 2, -1)
+
+    # parallax between rays
+    C1 = -mv(jnp.swapaxes(R1, -1, -2), t1)
+    C2 = -mv(jnp.swapaxes(Rcw, -1, -2), tcw)
+    r1 = X - C1
+    r2 = X - C2
+    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+    )
+    good = (
+        cand & jnp.all(jnp.isfinite(X), -1) & (z1 > 0.05) & (z2 > 0.05)
+        & (reproj1 < 5.991) & (reproj2 < 5.991) & (cosp < 0.99995)
+    )
+
+    dist = jnp.linalg.norm(X - C2, axis=-1)
+    normal = (X - C2) / jnp.maximum(dist[:, None], 1e-9)
+    m2, ids = m.add_points(
+        X, t.desc, normal, dist / 2.0, dist * 2.0, ref_kf_slot, frame_id, good
+    )
+    t2 = dataclasses.replace(t, pt_id=jnp.where(good, ids, t.pt_id))
+    return m2, t2
+
+
+@jax.jit
+def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
+    pt_mask = m.pt_valid
+    obs_kf, obs_pt, obs_uv, obs_level, obs_ok = m.observations_of(pt_mask)
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(obs_level, 0, scale_sigmas.shape[0] - 1)]
+
+    kf_R, kf_t = jax.vmap(_ns_to_cam_pose)(m.kf_ns)
+    Rn, tn, pts, inl = local_ba_se3(
+        kf_R, kf_t, kf_fixed, m.kf_valid,
+        m.pt_xyz, pt_mask,
+        obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
+        fx, fy, cx, cy, n_iters=5, rounds=2,
+    )
+    ns_new = jax.vmap(_cam_pose_to_ns)(Rn, tn)
+    # drop observations that BA rejected
+    K, F = m.kf_feat_pt.shape
+    inl_grid = inl.reshape(K, F) | ~obs_ok.reshape(K, F)
+    kf_feat_pt = jnp.where(inl_grid, m.kf_feat_pt, -1)
+    return dataclasses.replace(
+        m, kf_ns=ns_new, pt_xyz=pts, kf_feat_pt=kf_feat_pt
+    )

@@ -137,9 +137,11 @@ def occupancy_suppress(
     )
     r = int(radius)
     w = 2 * r + 1
-    dil = lax.reduce_window(
-        occ, jnp.asarray(0.0, occ.dtype), lax.max, (w, w), (1, 1), "SAME"
-    )
+    # separable dilation: two 1D max-pools instead of one (2r+1)^2 window
+    # (same square structuring element, ~20x cheaper at these radii)
+    zero = jnp.asarray(0.0, occ.dtype)
+    dil = lax.reduce_window(occ, zero, lax.max, (w, 1), (1, 1), "SAME")
+    dil = lax.reduce_window(dil, zero, lax.max, (1, w), (1, 1), "SAME")
     return jnp.where(dil > 0, 0.0, score)
 
 

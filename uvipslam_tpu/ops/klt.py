@@ -127,3 +127,79 @@ def klt_track(
     )
     ok = ok & inb & min_eig_ok & (resid < max_residual)
     return pts_next, ok
+
+
+def extract_templates(img: jax.Array, pts: jax.Array, win: int = 21):
+    """Gather per-feature template patches + gradients for anchor
+    refinement. Returns (T [N, P], Tx [N, P], Ty [N, P])."""
+    dtype = pts.dtype
+    px, py = _patch_coords(win, dtype)
+    gx, gy = scharr_gradients(img)
+
+    def gather(im):
+        xy = jnp.stack(
+            [pts[:, 0:1] + px[None, :], pts[:, 1:2] + py[None, :]], axis=-1
+        )
+        return bilinear_sample(im, xy)
+
+    return gather(img), gather(gx), gather(gy)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters"))
+def anchor_refine(
+    img: jax.Array,          # current level-0 image
+    T: jax.Array,            # [N, P] birth templates
+    Tx: jax.Array,           # [N, P] template x-gradients
+    Ty: jax.Array,           # [N, P] template y-gradients
+    pts: jax.Array,          # [N, 2] chained-KLT positions (start)
+    valid: jax.Array,        # [N]
+    win: int = 21,
+    iters: int = 8,
+    max_correction: float = 2.5,
+    max_residual: float = 12.0,
+):
+    """Refine feature positions against their BIRTH templates
+    (inverse-compositional LK with a fixed anchor template).
+
+    This eliminates the frame-chaining drift inherent to the reference's
+    calcOpticalFlowPyrLK pipeline (each ~0.05-0.1 px/frame of template
+    slide compounds into systematic pose bias over long-lived tracks).
+    Falls back to the chained position when the template has gone stale
+    (large residual) or the correction is implausibly large.
+
+    Returns (pts_refined [N, 2], refined [N] bool).
+    """
+    dtype = pts.dtype
+    px, py = _patch_coords(win, dtype)
+    n_px = win * win
+
+    Gxx = jnp.sum(Tx * Tx, axis=1)
+    Gxy = jnp.sum(Tx * Ty, axis=1)
+    Gyy = jnp.sum(Ty * Ty, axis=1)
+    det = Gxx * Gyy - Gxy * Gxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    good_G = det > 1e-9
+
+    def gather(centers):
+        xy = jnp.stack(
+            [centers[:, 0:1] + px[None, :], centers[:, 1:2] + py[None, :]],
+            axis=-1,
+        )
+        return bilinear_sample(img, xy)
+
+    def body(_, p):
+        I = gather(p)
+        err = I - T
+        bx = jnp.sum(err * Tx, axis=1)
+        by = jnp.sum(err * Ty, axis=1)
+        dx = -(Gyy * bx - Gxy * by) / safe_det
+        dy = -(-Gxy * bx + Gxx * by) / safe_det
+        step = jnp.clip(jnp.stack([dx, dy], axis=-1), -3.0, 3.0)
+        return p + jnp.where(good_G[:, None], step, 0.0)
+
+    refined_pts = jax.lax.fori_loop(0, iters, body, pts)
+    resid = jnp.sum(jnp.abs(gather(refined_pts) - T), axis=1) / n_px
+    corr = jnp.linalg.norm(refined_pts - pts, axis=-1)
+    accept = valid & good_G & (corr <= max_correction) & (resid < max_residual)
+    out = jnp.where(accept[:, None], refined_pts, pts)
+    return out, accept

@@ -203,10 +203,11 @@ def extract_orb(
         # high-threshold corner in a cell always outranks it
         resp = hi + 1e-4 * lo
         resp = fast_ops.nms(resp)
-        occ_l = occupied_xy / s
-        resp = fast_ops.occupancy_suppress(
-            resp, occ_l, occupied_mask, max(2.0, px_distance / s)
-        )
+        if occupied_mask.shape[0] > 1:  # size-1 mask = static "no occupancy"
+            occ_l = occupied_xy / s
+            resp = fast_ops.occupancy_suppress(
+                resp, occ_l, occupied_mask, max(2.0, px_distance / s)
+            )
         cell_l = max(8, int(round(cell / math.sqrt(s))))
         xy_l, score_l, valid_l = fast_ops.grid_topk(resp, cell_l, quota)
 

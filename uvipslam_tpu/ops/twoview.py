@@ -225,14 +225,23 @@ def find_homography(
 def triangulate_linear(
     P1: jax.Array, P2: jax.Array, x1: jax.Array, x2: jax.Array
 ) -> jax.Array:
-    """Linear (DLT) triangulation. P1, P2: [3, 4] projections;
-    x1, x2: [N, 2] (in the projection's input units). Returns [N, 3]
-    (reference: Initializer::Triangulate, SVD of the 4x4 system)."""
-    rows = []
-    for P, x in ((P1, x1), (P2, x2)):
-        rows.append(x[..., 0:1] * P[2][None] - P[0][None])
-        rows.append(x[..., 1:2] * P[2][None] - P[1][None])
-    A = jnp.stack(rows, axis=-2)  # [N, 4, 4]
+    """Linear (DLT) triangulation. P1, P2: [3, 4] or per-point [N, 3, 4]
+    projections; x1, x2: [N, 2] (in the projection's input units).
+    Returns [N, 3] (reference: Initializer::Triangulate, SVD 4x4)."""
+    def prows(P, x):
+        if P.ndim == 2:
+            return (
+                x[..., 0:1] * P[2][None] - P[0][None],
+                x[..., 1:2] * P[2][None] - P[1][None],
+            )
+        return (
+            x[..., 0:1] * P[..., 2, :] - P[..., 0, :],
+            x[..., 1:2] * P[..., 2, :] - P[..., 1, :],
+        )
+
+    r1a, r1b = prows(P1, x1)
+    r2a, r2b = prows(P2, x2)
+    A = jnp.stack([r1a, r1b, r2a, r2b], axis=-2)  # [N, 4, 4]
     _, _, vt = jnp.linalg.svd(A)
     Xh = vt[..., -1, :]
     w = Xh[..., 3]
