@@ -1,0 +1,154 @@
+"""VIO initialization: gyro bias, pressure scale, gravity, linear s/g."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.preintegration import preintegrate
+from uvipslam_tpu.vio import init as vio
+
+
+def simulate_kfs(K=12, dt_kf=0.5, imu_hz=200, bg=(0.004, -0.006, 0.003),
+                 seed=0, g_w=(0.0, 0.0, -9.81)):
+    """Body on a smooth 3D trajectory; returns KF rotations/positions and
+    per-KF preintegrations computed with ZERO assumed bias (so the true
+    bias is recoverable)."""
+    rs = np.random.RandomState(seed)
+    g_w = np.asarray(g_w)
+    bg = np.asarray(bg)
+    n_sub = int(imu_hz * dt_kf)
+    dt = dt_kf / n_sub
+
+    def pos(t):
+        return np.array([0.8 * t, 0.3 * np.sin(0.8 * t), 0.2 * np.sin(0.5 * t)])
+
+    def yawpitch(t):
+        return np.array([0.06 * np.sin(0.9 * t), 0.25 * t * 0.2, 0.1 * np.sin(0.4 * t)])
+
+    T = K * n_sub
+    R = np.eye(3)
+    p = pos(0.0)
+    v = (pos(dt) - pos(-dt)) / (2 * dt)
+    kf_R, kf_p, kf_v = [R.copy()], [p.copy()], [v.copy()]
+    omgs, accs = [], []
+    for k in range(T):
+        t = k * dt
+        w_world = (yawpitch(t + dt) - yawpitch(t)) / dt
+        # treat yawpitch as rotation-vector rate in body frame (small)
+        w_body = w_world
+        a_w = (pos(t + dt) - 2 * pos(t) + pos(t - dt)) / dt**2
+        f_body = R.T @ (a_w - g_w)
+        omgs.append(w_body + bg)
+        accs.append(f_body)
+        p = p + v * dt + 0.5 * a_w * dt * dt
+        v = v + a_w * dt
+        R = R @ np.asarray(lie.so3_exp(jnp.asarray(w_body * dt, jnp.float64)))
+        if (k + 1) % n_sub == 0:
+            kf_R.append(R.copy()); kf_p.append(p.copy()); kf_v.append(v.copy())
+
+    omgs = np.asarray(omgs); accs = np.asarray(accs)
+    z3 = jnp.zeros(3, jnp.float64)
+    pre = []
+    for k in range(K):
+        seg_o = jnp.asarray(omgs[k * n_sub:(k + 1) * n_sub])
+        seg_a = jnp.asarray(accs[k * n_sub:(k + 1) * n_sub])
+        dts = jnp.full((n_sub,), dt, jnp.float64)
+        pre.append(preintegrate(seg_o, seg_a, dts, jnp.ones(n_sub), z3, z3, 0.01, 0.1))
+    pre = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pre)
+    return dict(
+        kf_R=np.asarray(kf_R), kf_p=np.asarray(kf_p), kf_v=np.asarray(kf_v),
+        pre=pre, bg=bg, g_w=g_w, dt_kf=dt_kf, accs=accs,
+    )
+
+
+class TestGyroBias:
+    def test_recovers_bias(self):
+        sim = simulate_kfs()
+        K = 12
+        # slot k holds preint from KF k-1 to KF k => align: pre[k] pairs
+        # (kf k, kf k+1); build arrays with slot k = rotation of KF k and
+        # preint from k-1 to k
+        kf_R = jnp.asarray(sim["kf_R"][1:])             # KFs 1..K
+        pre_dR = sim["pre"].dR                          # preint k->k+1
+        # slot k: preint from KF k-1 to KF k => shift
+        dR = jnp.concatenate([jnp.eye(3, dtype=jnp.float64)[None], sim["pre"].dR[1:]])
+        JR = jnp.concatenate([jnp.zeros((1, 3, 3), jnp.float64), sim["pre"].J_R_bg[1:]])
+        mask = jnp.asarray([False] + [True] * (K - 1))
+        bg = vio.estimate_gyro_bias(kf_R, dR, JR, mask)
+        np.testing.assert_allclose(np.asarray(bg), sim["bg"], atol=2e-4)
+
+
+class TestPressureScale:
+    def test_recovers_scale(self):
+        rs = np.random.RandomState(1)
+        K = 15
+        true_scale = 3.7
+        z_map = np.cumsum(rs.uniform(-0.3, 0.5, K))
+        depth = z_map * true_scale + rs.randn(K) * 0.01
+        s_gn, s_naive = vio.estimate_scale_from_pressure(
+            jnp.asarray(z_map), jnp.asarray(depth), jnp.ones(K, bool)
+        )
+        np.testing.assert_allclose(float(s_gn), true_scale, rtol=0.02)
+        np.testing.assert_allclose(float(s_naive), true_scale, rtol=0.05)
+
+
+class TestGravityDirection:
+    def test_from_accel_average(self):
+        sim = simulate_kfs()
+        # static-ish average: use all accs; the body rotates so the mean
+        # specific force in WORLD frame is -g... here accs are body-frame;
+        # the reference averages body-frame samples early when the body is
+        # near-static. Use the first KF interval (small rotation).
+        acc = jnp.asarray(sim["accs"][:100])
+        gdir = vio.gravity_from_accel_average(acc, jnp.ones(100))
+        # specific force ~ -g in body ~ world at t=0 => direction ~ +z
+        assert float(gdir[2]) > 0.95
+
+    def test_rotation_to_gravity(self):
+        g = jnp.asarray([0.3, -0.2, 0.93], jnp.float64)
+        g = g / jnp.linalg.norm(g)
+        R = vio.rotation_to_gravity(g)
+        out = np.asarray(R @ jnp.asarray([0.0, 0.0, 1.0], jnp.float64))
+        np.testing.assert_allclose(out, np.asarray(g), atol=1e-10)
+
+
+class TestLinearScaleGravity:
+    def test_recovers_scale_and_gravity(self):
+        sim = simulate_kfs(bg=(0, 0, 0))
+        K = 12
+        true_scale = 4.2
+        pcb = jnp.asarray([0.02, -0.05, 0.1], jnp.float64)
+        # vision camera centers: c = (p_wb - R_wb pcb)/s
+        kf_R = jnp.asarray(sim["kf_R"])
+        kf_p = jnp.asarray(sim["kf_p"])
+        c = (kf_p - jax.vmap(lambda R: R @ pcb)(kf_R)) / true_scale
+        # slot k: preint from k-1 to k
+        dP = jnp.concatenate([jnp.zeros((1, 3), jnp.float64), sim["pre"].dP])
+        dV = jnp.concatenate([jnp.zeros((1, 3), jnp.float64), sim["pre"].dV])
+        dt = jnp.concatenate([jnp.zeros((1,), jnp.float64), sim["pre"].dt])
+        mask = jnp.asarray([False, False] + [True] * (K - 1))
+        s, g_est = vio.estimate_scale_gravity_linear(
+            c, kf_R, dP, dV, dt, pcb, mask
+        )
+        np.testing.assert_allclose(float(s), true_scale, rtol=0.02)
+        np.testing.assert_allclose(np.asarray(g_est), sim["g_w"], atol=0.15)
+
+
+class TestVelocities:
+    def test_finite_difference_identity(self):
+        sim = simulate_kfs(bg=(0, 0, 0))
+        K = 12
+        kf_R = jnp.asarray(sim["kf_R"][:-1])
+        kf_p = jnp.asarray(sim["kf_p"][:-1])
+        # function convention: slot k holds the preint from KF k-1 to k;
+        # sim.pre[k] is the preint k -> k+1, so shift by one
+        dP = jnp.concatenate([jnp.zeros((1, 3), jnp.float64), sim["pre"].dP[: K - 1]])
+        dt = jnp.concatenate([jnp.zeros((1,), jnp.float64), sim["pre"].dt[: K - 1]])
+        v = vio.velocities_from_positions(
+            kf_p, kf_R, dP, dt,
+            jnp.asarray(sim["g_w"]), jnp.ones(K, bool),
+        )
+        np.testing.assert_allclose(np.asarray(v)[:-1], sim["kf_v"][:-2], atol=5e-3)

@@ -67,19 +67,26 @@ def vee(W: jax.Array) -> jax.Array:
     return _stack_last(W[..., 2, 1], W[..., 0, 2], W[..., 1, 0])
 
 
+def _safe_sqrt(x2: jax.Array, small: jax.Array) -> jax.Array:
+    """sqrt that is differentiable when x2 ~ 0: the guarded branch feeds
+    sqrt a positive constant so jacfwd never sees d/dx sqrt(0) = inf
+    (inf * 0 = NaN would otherwise poison every downstream Jacobian)."""
+    return jnp.sqrt(jnp.where(small, 1.0, x2))
+
+
 def _sin_over_x(x2: jax.Array) -> jax.Array:
     """sin(x)/x as a function of x^2 (even function; stable at 0)."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < _EPS2
+    x = _safe_sqrt(x2, small)
     taylor = 1.0 - x2 / 6.0 + x2 * x2 / 120.0
-    closed = jnp.sin(x) / jnp.where(small, 1.0, x)
+    closed = jnp.sin(x) / x
     return jnp.where(small, taylor, closed)
 
 
 def _one_minus_cos_over_x2(x2: jax.Array) -> jax.Array:
     """(1 - cos(x)) / x^2 as a function of x^2 (stable at 0)."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < _EPS2
+    x = _safe_sqrt(x2, small)
     taylor = 0.5 - x2 / 24.0 + x2 * x2 / 720.0
     closed = (1.0 - jnp.cos(x)) / jnp.where(small, 1.0, x2)
     return jnp.where(small, taylor, closed)
@@ -87,8 +94,8 @@ def _one_minus_cos_over_x2(x2: jax.Array) -> jax.Array:
 
 def _x_minus_sin_over_x3(x2: jax.Array) -> jax.Array:
     """(x - sin(x)) / x^3 as a function of x^2 (stable at 0)."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < _EPS2
+    x = _safe_sqrt(x2, small)
     taylor = 1.0 / 6.0 - x2 / 120.0 + x2 * x2 / 5040.0
     closed = (x - jnp.sin(x)) / jnp.where(small, 1.0, x2 * x)
     return jnp.where(small, taylor, closed)
@@ -169,11 +176,11 @@ def so3_log(R: jax.Array) -> jax.Array:
     """Log map SO(3) -> so(3) via quaternion (uniformly stable incl. pi)."""
     q = quat_from_rotmat(R)
     w, v = q[..., 0], q[..., 1:]
-    vnorm = jnp.linalg.norm(v, axis=-1)
+    v2 = jnp.sum(v * v, axis=-1)
+    small = v2 < 1e-14
+    safe_vnorm = _safe_sqrt(v2, small)
     # angle = 2*atan2(|v|, w); axis = v/|v|. Stable factor 2*atan2(|v|,w)/|v|.
-    small = vnorm < 1e-7
-    safe_vnorm = jnp.where(small, 1.0, vnorm)
-    angle = 2.0 * jnp.arctan2(vnorm, w)
+    angle = 2.0 * jnp.arctan2(jnp.where(small, 0.0, safe_vnorm), w)
     # For tiny |v|: angle/|v| -> 2/w (w ~ 1).
     factor = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), angle / safe_vnorm)
     return v * factor[..., None]
@@ -198,8 +205,8 @@ def so3_right_jacobian(w: jax.Array) -> jax.Array:
 def _half_x_cot_half_x_combo(x2: jax.Array) -> jax.Array:
     """Coefficient of hat(w)^2 in Jl^{-1}: (1/x^2) - (1+cos)/(2 x sin),
     Taylor 1/12 + x^2/720 + ... at 0. As a function of x^2."""
-    x = jnp.sqrt(jnp.maximum(x2, 0.0))
     small = x2 < 1e-8
+    x = _safe_sqrt(x2, small)
     taylor = 1.0 / 12.0 + x2 / 720.0 + x2 * x2 / 30240.0
     sx = jnp.where(small, 1.0, jnp.sin(x))
     closed = 1.0 / jnp.where(small, 1.0, x2) - (1.0 + jnp.cos(x)) / (2.0 * jnp.where(small, 1.0, x) * sx)
@@ -286,7 +293,7 @@ def sim3_exp(xi: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     s = jnp.exp(sigma)
     R = so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    theta = _safe_sqrt(theta2, theta2 < 1e-14) * (theta2 >= 1e-14)
     W = _sim3_W(sigma, s, theta, phi.dtype, hat(phi))
     t = mv(W, rho)
     return s, R, t
@@ -346,7 +353,8 @@ def sim3_log(s: jax.Array, R: jax.Array, t: jax.Array) -> jax.Array:
     """Log map Sim(3) -> sim(3): [rho, phi, sigma]. Inverts `sim3_exp`."""
     sigma = jnp.log(s)
     phi = so3_log(R)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    phi2 = jnp.sum(phi * phi, axis=-1)
+    theta = _safe_sqrt(phi2, phi2 < 1e-14) * (phi2 >= 1e-14)
     W = _sim3_W(sigma, s, theta, R.dtype, hat(phi))
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

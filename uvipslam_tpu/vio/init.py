@@ -1,0 +1,210 @@
+"""Visual-inertial(-pressure) initialization.
+
+TPU-native equivalent of LocalMapping::TryInitVIO
+(reference: src/LocalMapping.cc:89-709) and its optimizer helpers
+(OptimizeInitialGyroBias src/Optimizer.cc:1804, OptimizeInitialScale
+:2858-3028):
+
+  Step 1  gyro bias by Gauss-Newton over all KF pairs' preintegrated
+          rotations (EdgeGyrBias).
+  Step 2  (VI mode / Init_mode 1) linear solve for [scale, gravity_w]
+          from the position-preintegration identities over KF triplets
+          (VI-ORB "map reuse"), then refined [s, dtheta_xy, ba] with
+          |g| = 9.81 constrained.
+  Step 3  (VIP mode / Init_mode 2-3 — the paper's method) gravity
+          direction from the accelerometer average, world-to-gravity
+          rotation by SO3 exp, metric SCALE from the pressure depth
+          channel (scale-depth edges over 1- and 2-hop KF pairs), then
+          a reduced [dtheta_xy, ba] solve with the scale held fixed.
+
+All solves are masked fixed-shape least squares on device; the KF table
+batches straight in.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.lie import mm, mv
+from uvipslam_tpu.solver.factors import gyro_bias_edge
+
+_HI = jax.lax.Precision.HIGHEST
+GRAVITY = 9.810
+
+
+def estimate_gyro_bias(
+    kf_R_wb: jax.Array,     # [K, 3, 3] body rotations (vision, via Tbc)
+    pre_dR: jax.Array,      # [K, 3, 3] preintegrated dR from prev KF to KF k
+    pre_J_R_bg: jax.Array,  # [K, 3, 3]
+    pair_mask: jax.Array,   # [K] bool: k valid AND k-1 valid (consecutive)
+    n_iters: int = 5,
+) -> jax.Array:
+    """Gauss-Newton for the 3-dof gyro bias over all consecutive KF pairs
+    (reference: Optimizer::OptimizeInitialGyroBias, EdgeGyrBias)."""
+    R_i = jnp.roll(kf_R_wb, 1, axis=0)  # previous KF rotation per slot
+    w = pair_mask.astype(kf_R_wb.dtype)
+
+    def body(bg, _):
+        r, J = gyro_bias_edge(R_i, kf_R_wb, pre_dR, pre_J_R_bg, bg)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("kmi,kmj->ij", Jw, J, precision=_HI)
+        g = jnp.einsum("kmi,km->i", Jw, r, precision=_HI)
+        dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(3, dtype=bg.dtype), -g)
+        return bg + dx, None
+
+    bg0 = jnp.zeros((3,), kf_R_wb.dtype)
+    bg, _ = jax.lax.scan(body, bg0, None, length=n_iters)
+    return bg
+
+
+def gravity_from_accel_average(
+    acc_samples: jax.Array,   # [T, 3] raw accelerometer samples (body)
+    mask: jax.Array,          # [T]
+) -> jax.Array:
+    """Gravity direction = mean specific force while quasi-static
+    (reference: Tracking::calculate_G, src/Tracking.cc:3062-3071)."""
+    w = mask.astype(acc_samples.dtype)[:, None]
+    mean = jnp.sum(acc_samples * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    return mean / jnp.maximum(jnp.linalg.norm(mean), 1e-9)
+
+
+def rotation_to_gravity(g_dir_w: jax.Array) -> jax.Array:
+    """R_wi aligning the estimated gravity direction with the canonical
+    -z (so world gravity becomes [0, 0, -9.81]; the reference aligns to
+    its gI = [0, 0, 9.81] pressure-depth convention — sign handled by the
+    caller). (reference: src/LocalMapping.cc:278-292, :383-407)."""
+    gI = jnp.asarray([0.0, 0.0, 1.0], g_dir_w.dtype)
+    v = jnp.cross(gI, g_dir_w)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(gI, g_dir_w)
+    ang = jnp.arctan2(s, c)
+    axis = v / jnp.where(s < 1e-9, 1.0, s)
+    return lie.so3_exp(axis * ang)
+
+
+def estimate_scale_from_pressure(
+    kf_z_map: jax.Array,      # [K] map-frame z of each KF (vision scale)
+    kf_depth: jax.Array,      # [K] pressure depth measurement
+    kf_mask: jax.Array,       # [K] valid AND has depth
+    n_gn_iters: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """The paper's pressure-scale solve (reference:
+    Optimizer::OptimizeInitialScale, src/Optimizer.cc:2858-3028):
+    1-dof GN over EdgeScaleDepth residuals |d_j - d_i| - s*|z_j - z_i|
+    on consecutive (1-hop) and 2-hop KF pairs; also returns the naive
+    averaged ratio the reference computes alongside.
+
+    Returns (scale_gn, scale_naive)."""
+    dtype = kf_z_map.dtype
+
+    def pairs(hop):
+        zi = jnp.roll(kf_z_map, hop)
+        di = jnp.roll(kf_depth, hop)
+        mi = jnp.roll(kf_mask, hop)
+        dz = jnp.abs(kf_z_map - zi)
+        dd = jnp.abs(kf_depth - di)
+        m = (kf_mask & mi).astype(dtype)
+        # roll wraps; kill wrapped pairs
+        idx = jnp.arange(kf_z_map.shape[0])
+        m = m * (idx >= hop)
+        return dz, dd, m
+
+    dz1, dd1, m1 = pairs(1)
+    dz2, dd2, m2 = pairs(2)
+    dz = jnp.concatenate([dz1, dz2])
+    dd = jnp.concatenate([dd1, dd2])
+    m = jnp.concatenate([m1, m2])
+
+    # closed-form weighted LS for r = dd - s*dz (equivalent to the
+    # reference's 1-iteration GN with info 1/0.01^2)
+    denom = jnp.sum(m * dz * dz)
+    s_gn = jnp.sum(m * dd * dz) / jnp.maximum(denom, 1e-12)
+
+    # naive average of per-pair ratios over pairs with meaningful dz
+    good = m * (dz > 1e-6)
+    ratios = jnp.where(dz > 1e-6, dd / jnp.maximum(dz, 1e-6), 0.0)
+    s_naive = jnp.sum(good * ratios) / jnp.maximum(jnp.sum(good), 1.0)
+    return s_gn, s_naive
+
+
+def estimate_scale_gravity_linear(
+    kf_p_c: jax.Array,     # [K, 3] camera centers in vision frame
+    kf_R_wb: jax.Array,    # [K, 3, 3] body rotations (vision frame)
+    pre_dP: jax.Array,     # [K, 3] preint dP (prev -> k)
+    pre_dV: jax.Array,     # [K, 3] preint dV
+    pre_dt: jax.Array,     # [K]
+    pcb: jax.Array,        # [3] camera position in body frame
+    triple_mask: jax.Array,  # [K] bool: k, k-1, k-2 all valid consecutive
+):
+    """VI-ORB's linear [scale, gravity] solve over KF triplets
+    (reference: src/LocalMapping.cc:186-260). For each consecutive
+    triplet (1, 2, 3):
+
+      lambda(k) * s + beta(k) * g_w = gamma(k)
+
+    with the standard elimination of velocities. Returns (s, g_w).
+    """
+    dtype = kf_p_c.dtype
+    K = kf_p_c.shape[0]
+    c1 = jnp.roll(kf_p_c, 2, 0)
+    c2 = jnp.roll(kf_p_c, 1, 0)
+    c3 = kf_p_c
+    Rb1 = jnp.roll(kf_R_wb, 2, 0)
+    Rb2 = jnp.roll(kf_R_wb, 1, 0)
+    Rb3 = kf_R_wb
+    dp12 = jnp.roll(pre_dP, 1, 0)
+    dv12 = jnp.roll(pre_dV, 1, 0)
+    dp23 = pre_dP
+    T12 = jnp.roll(pre_dt, 1, 0)[:, None]
+    T23 = pre_dt[:, None]
+
+    # With p_wb = s * p_wc + R_wb q  (q = body origin offset via Tbc),
+    # eliminating v1, v2 from the two preintegration position identities
+    # and the velocity identity gives, per triplet:
+    #   lam * s + beta @ g_w = gamma
+    # lam   = (c3 - c2) T12 - (c2 - c1) T23
+    # beta  = -0.5 (T12^2 T23 + T12 T23^2) I
+    # gamma = Rb2 dp23 T12 - Rb1 dp12 T23 + Rb1 dv12 T12 T23
+    #         - [(Rb3 - Rb2) T12 - (Rb2 - Rb1) T23] q
+    lam = (c3 - c2) * T12 - (c2 - c1) * T23
+    beta_coef = -0.5 * (T12 * T12 * T23 + T12 * T23 * T23)
+    beta = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3)) * beta_coef[..., None]
+    gamma = (
+        mv(Rb2, dp23) * T12
+        - mv(Rb1, dp12) * T23
+        + mv(Rb1, dv12) * (T12 * T23)
+        - (mv(Rb3 - Rb2, pcb) * T12 - mv(Rb2 - Rb1, pcb) * T23)
+    )
+
+    idx = jnp.arange(K)
+    w = (triple_mask & (idx >= 2)).astype(dtype)
+    A = jnp.concatenate([lam[..., None], beta], axis=-1) * w[:, None, None]  # [K, 3, 4]
+    b = gamma * w[:, None]
+
+    A2 = A.reshape(-1, 4)
+    b2 = b.reshape(-1)
+    H = A2.T @ A2 + 1e-9 * jnp.eye(4, dtype=dtype)
+    x = jnp.linalg.solve(H, A2.T @ b2)
+    return x[0], x[1:4]
+
+
+def velocities_from_positions(
+    kf_p_wb: jax.Array,    # [K, 3] body positions (metric, gravity frame)
+    kf_R_wb: jax.Array,    # [K, 3, 3]
+    pre_dP: jax.Array,     # [K, 3]
+    pre_dt: jax.Array,     # [K]
+    gravity_w: jax.Array,  # [3]
+    pair_mask: jax.Array,  # [K]
+) -> jax.Array:
+    """Per-KF velocities from the preintegration identity
+    p_j = p_i + v_i dt + 0.5 g dt^2 + R_i dP  =>  v_i
+    (reference: src/LocalMapping.cc:650-698 finite differencing)."""
+    p_j = jnp.roll(kf_p_wb, -1, 0)
+    dt = jnp.roll(pre_dt, -1, 0)[:, None]
+    dP = jnp.roll(pre_dP, -1, 0)
+    R_i = kf_R_wb
+    v = (p_j - kf_p_wb - 0.5 * gravity_w * dt * dt - mv(R_i, dP)) / jnp.maximum(dt, 1e-6)
+    nxt_ok = jnp.roll(pair_mask, -1, 0)
+    return jnp.where(nxt_ok[:, None], v, 0.0)
