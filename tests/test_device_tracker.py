@@ -6,6 +6,15 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _f32_mode():
+    """These are production-dtype (f32) end-to-end tests; the global x64
+    test mode would inject f64 into scan carries."""
+    import jax
+    with jax.enable_x64(False):
+        yield
+
 from uvipslam_tpu.frontend.device_tracker import WORKING, build_tracker
 from uvipslam_tpu.frontend.tracker import TrackerConfig
 from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence

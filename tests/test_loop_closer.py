@@ -1,0 +1,98 @@
+"""Loop-closing orchestration: detect + Sim3 + correct on a drifted map."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.frontend.tracker import _cam_pose_to_ns
+from uvipslam_tpu.loop.closer import close_loop, compute_loop_sim3, detect_loop_candidates
+from uvipslam_tpu.mapstate.map import MapState
+
+
+def build_looped_map(K=10, P=256, drift=0.4, seed=0):
+    """A circular trajectory revisiting its start with accumulated drift.
+    Like a real loop closure, the revisit keyframe observes its own
+    freshly-triangulated DUPLICATE landmarks (at drift-shifted positions)
+    whose descriptors match the originals — the Sim3 between the two
+    point sets is exactly the accumulated drift."""
+    rs = np.random.RandomState(seed)
+    m = MapState.empty(K, P, 64)
+
+    pts = rs.uniform(-1, 1, (P, 3)) + [0, 0, 4]
+    descs = rs.randint(0, 2, (P, 256)).astype(np.int8)
+
+    # true poses: slide sideways and return (loop)
+    true_C = [np.array([0.2 * k, 0.0, 0.0]) for k in range(K - 1)] + [np.array([0.0, 0.0, 0.0])]
+    est_C = [c + np.array([drift, -drift / 2, 0.0]) * (k / K) for k, c in enumerate(true_C)]
+    drift_last = np.asarray(est_C[-1]) - np.asarray(true_C[-1])
+
+    # landmark table: slots 64:128 are the revisit's drifted duplicates
+    # of slots 0:64 (same descriptors, shifted positions)
+    pts_tab = pts.copy()
+    pts_tab[64:128] = pts[:64] + drift_last
+    descs_tab = descs.copy()
+    descs_tab[64:128] = descs[:64]
+    m = dataclasses.replace(
+        m,
+        pt_xyz=jnp.asarray(pts_tab.astype(np.float32)),
+        pt_desc=jnp.asarray(descs_tab),
+        pt_valid=jnp.ones((P,), bool),
+        pt_ref_kf=jnp.zeros((P,), jnp.int32).at[64:128].set(K - 1),
+        n_pt=jnp.asarray(P, jnp.int32),
+    )
+
+    for k in range(K):
+        Rcw = np.eye(3, dtype=np.float32)
+        tcw = (-Rcw @ est_C[k]).astype(np.float32)
+        ns = _cam_pose_to_ns(jnp.asarray(Rcw), jnp.asarray(tcw))
+        if k == 0:
+            ids = np.arange(64)
+        elif k == K - 1:
+            ids = np.arange(64) + 64          # the drifted duplicates
+        else:
+            ids = np.arange(64) + 128 + (k * 8) % (P - 192)
+        feat_pt = jnp.asarray(ids, jnp.int32)
+        feat_desc = jnp.asarray(descs_tab[ids])
+        # project the table positions with the estimated pose for uv
+        pc = pts_tab[ids] - est_C[k]
+        uv = jnp.asarray(np.stack([400 * pc[:, 0] / pc[:, 2] + 320,
+                                   400 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32))
+        m, _ = m.add_keyframe(
+            ns, jnp.asarray(float(k)), jnp.asarray(k * 3, jnp.int32),
+            uv, feat_desc, jnp.zeros(64, jnp.int32), jnp.zeros(64),
+            jnp.ones(64, bool), feat_pt,
+            jnp.asarray(0.0), jnp.asarray(False),
+            jax.tree_util.tree_map(lambda a: a[0], MapState.empty(1, 1, 1).kf_preint),
+            jnp.asarray(k - 1, jnp.int32),
+        )
+    return m, np.asarray(true_C), np.asarray(est_C)
+
+
+def test_detect_candidates_finds_loop():
+    m, true_C, est_C = build_looped_map()
+    idx, scores = detect_loop_candidates(m, query_kf=9, min_gap=5)
+    assert 0 in list(idx), (idx, scores)
+
+
+def test_sim3_and_correction():
+    m, true_C, est_C = build_looped_map()
+    ok, s, R, t, n_in = compute_loop_sim3(
+        m, 9, 0, jax.random.PRNGKey(0), 400.0, 400.0, 320.0, 240.0,
+    )
+    assert ok, n_in
+    # the relative Sim3 should capture the drift between est poses of
+    # kf9 and kf0 camera frames: X_9 = R X_0 + t with t ~ -(drift offset)
+    assert abs(float(s) - 1.0) < 0.05
+
+    m2 = close_loop(m, 9, 0, s, R, t, n_iters=25)
+    C2 = np.asarray(m2.kf_ns.p[:10])
+    # loop endpoint pulled onto the loop KF (same position as KF 0)
+    assert np.linalg.norm(C2[9] - C2[0]) < 0.08, C2[9] - C2[0]
+    # interior drift redistributed (end-point error halved at least)
+    drift_before = np.linalg.norm(est_C[9] - true_C[9])
+    drift_after = np.linalg.norm(C2[9] - true_C[9])
+    assert drift_after < 0.5 * drift_before, (drift_before, drift_after)

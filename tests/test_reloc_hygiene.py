@@ -1,0 +1,103 @@
+"""Relocalization from LOST + map hygiene (culling/fusion)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _f32_mode():
+    """These are production-dtype (f32) end-to-end tests; the global x64
+    test mode would inject f64 into scan carries."""
+    import jax
+    with jax.enable_x64(False):
+        yield
+
+from uvipslam_tpu.frontend.tracker import LOST, WORKING, MonoTracker, TrackerConfig
+from uvipslam_tpu.io.synthetic import make_sequence
+from uvipslam_tpu.mapstate.hygiene import cull_points, fuse_duplicates
+from uvipslam_tpu.mapstate.map import MapState
+from uvipslam_tpu.models.camera import CameraModel
+
+
+@pytest.mark.slow
+def test_relocalization_after_blackout():
+    seq = make_sequence(n_frames=40, H=240, W=320, n_points=2500, seed=3, speed=1.2)
+    cam = CameraModel.create(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2],
+                             width=320, height=240)
+    cfg = TrackerConfig(n_tracks=200, min_init_tracks=60, local_window=6)
+    tr = MonoTracker(cam, cfg, kf_cap=32, pt_cap=4096)
+
+    for f in range(28):
+        tr.process_frame(seq.images[f])
+    assert tr.state == WORKING
+
+    # blackout: tracking must die
+    black = np.zeros_like(seq.images[0])
+    for _ in range(3):
+        tr.process_frame(black)
+    assert tr.state == LOST
+
+    # revisit a mapped view (the latest keyframe's own frame — exercises
+    # retrieval + matching + PnP + the state transition; wide-baseline
+    # robustness is bounded by the synthetic random-texture content)
+    kf_frames = np.asarray(tr.map.kf_frame_id[: int(tr.map.n_kf)])
+    reloc_frame = int(kf_frames[-1])
+    st = tr.process_frame(seq.images[reloc_frame])
+    if not st.get("relocalized"):
+        st = tr.process_frame(seq.images[reloc_frame])
+    assert tr.state == WORKING, st
+    # pose close to the pre-blackout estimate of that frame (same map scale)
+    C = -np.asarray(tr.Rcw).T @ np.asarray(tr.tcw)
+    fid = [i for i, _, _ in tr.trajectory]
+    k = fid.index(reloc_frame)
+    R_then, t_then = tr.trajectory[k][1], tr.trajectory[k][2]
+    C_then = -R_then.T @ t_then
+    assert np.linalg.norm(C - C_then) < 0.1, (C, C_then)
+
+
+class TestHygiene:
+    def test_cull_points(self):
+        m = MapState.empty(4, 32, 8)
+        m = dataclasses.replace(
+            m,
+            pt_valid=m.pt_valid.at[:3].set(True),
+            pt_found=m.pt_found.at[0].set(1.0).at[1].set(9.0).at[2].set(9.0),
+            pt_visible=m.pt_visible.at[0].set(10.0).at[1].set(10.0).at[2].set(10.0),
+            pt_first_frame=m.pt_first_frame.at[:3].set(0),
+            n_pt=jnp.asarray(3, jnp.int32),
+        )
+        # point 2 gets two observations; 0 has bad ratio; 1 has no obs and
+        # is long past probation
+        kf_feat_pt = m.kf_feat_pt.at[0, 0].set(2).at[1, 0].set(2)
+        kf_feat_valid = m.kf_feat_valid.at[0, 0].set(True).at[1, 0].set(True)
+        m = dataclasses.replace(m, kf_feat_pt=kf_feat_pt, kf_feat_valid=kf_feat_valid)
+        m2 = cull_points(m, jnp.asarray(100, jnp.int32))
+        v = np.asarray(m2.pt_valid)
+        assert not v[0]      # bad found ratio
+        assert not v[1]      # no observations after probation
+        assert v[2]          # healthy
+
+    def test_fuse_duplicates(self):
+        rs = np.random.RandomState(0)
+        m = MapState.empty(2, 16, 8)
+        d = rs.randint(0, 2, (256,)).astype(np.int8)
+        m = dataclasses.replace(
+            m,
+            pt_xyz=m.pt_xyz.at[0].set(jnp.asarray([1.0, 1.0, 1.0]))
+                         .at[1].set(jnp.asarray([1.0, 1.0, 1.02]))
+                         .at[2].set(jnp.asarray([5.0, 5.0, 5.0])),
+            pt_desc=m.pt_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d)),
+            pt_valid=m.pt_valid.at[:3].set(True),
+        )
+        kf_feat_pt = m.kf_feat_pt.at[0, 0].set(1).at[0, 1].set(2)
+        m = dataclasses.replace(m, kf_feat_pt=kf_feat_pt)
+        m2 = fuse_duplicates(m)
+        v = np.asarray(m2.pt_valid)
+        assert v[0] and not v[1] and v[2]
+        # the observation of 1 now points to 0
+        assert int(m2.kf_feat_pt[0, 0]) == 0
+        assert int(m2.kf_feat_pt[0, 1]) == 2

@@ -4,6 +4,15 @@
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _f32_mode():
+    """These are production-dtype (f32) end-to-end tests; the global x64
+    test mode would inject f64 into scan carries."""
+    import jax
+    with jax.enable_x64(False):
+        yield
+
 from uvipslam_tpu.frontend.tracker import WORKING, MonoTracker, TrackerConfig
 from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence
 from uvipslam_tpu.models.camera import CameraModel

@@ -168,3 +168,37 @@ def preintegrate(
     init = PreintState.zero(dtype=dtype)
     out, _ = jax.lax.scan(body, init, (omegas, accs, dts.astype(dtype), mask.astype(dtype)))
     return out
+
+
+def preintegrate_continue(
+    state: PreintState,
+    omegas: jax.Array,
+    accs: jax.Array,
+    dts: jax.Array,
+    mask: jax.Array,
+    bg: jax.Array,
+    ba: jax.Array,
+    gyr_noise_sd,
+    acc_noise_sd,
+) -> PreintState:
+    """Extend an existing preintegration with more samples — used to
+    accumulate the measurement from the last keyframe across frames
+    (reference: mvIMUSinceLastKF growing per frame, src/Tracking.cc;
+    KeyFrame::ComputePreInt then re-integrates — here we never re-run,
+    we extend incrementally)."""
+    dtype = state.dP.dtype
+    gyr_sd = jnp.asarray(gyr_noise_sd, dtype)
+    acc_sd = jnp.asarray(acc_noise_sd, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    gyr_cov = eye3 * (gyr_sd * gyr_sd)
+    acc_cov = eye3 * (acc_sd * acc_sd)
+
+    def body(st, inp):
+        w, a, dt, m = inp
+        dt = dt * m
+        return preint_step(st, w - bg, a - ba, dt, gyr_cov, acc_cov), None
+
+    out, _ = jax.lax.scan(
+        body, state, (omegas, accs, dts.astype(dtype), mask.astype(dtype))
+    )
+    return out

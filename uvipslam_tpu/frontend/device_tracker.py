@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.frontend import tracker as HT
-from uvipslam_tpu.frontend.frame import Tracks, propagate_tracks, refill_tracks
+from uvipslam_tpu.frontend.frame import Tracks, propagate_tracks, refill_tracks, refresh_descriptors
 from uvipslam_tpu.frontend.tracker import (
     INITIALIZING,
     LOST,
@@ -233,6 +233,7 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
 
             tracks = refill_tracks(t2, img, st.frame_id,
                                    n_features=cfg.n_tracks, px_distance=cfg.px_distance)
+            tracks = refresh_descriptors(tracks, img)
             tracks = undistort(tracks)
             tracks = refresh_birth(tracks, st.frame_id)
             st = dataclasses.replace(st, tracks=tracks, Rcw=Rcw, tcw=t1,

@@ -17,8 +17,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from uvipslam_tpu.ops.klt import anchor_refine, extract_templates, klt_track
-from uvipslam_tpu.ops.orb import Features, extract_orb
+from uvipslam_tpu.ops.klt import (anchor_refine, anchor_refine_fast,
+    extract_templates, extract_templates_fast, global_shift, klt_track)
+from uvipslam_tpu.ops.orb import (Features, brief_descriptors, extract_orb,
+    ic_angles, orient_and_describe_fast)
 from uvipslam_tpu.ops.twoview import find_fundamental
 
 N_BITS = 256
@@ -39,10 +41,14 @@ class Tracks:
     birth_frame: jax.Array  # [N] i32 frame id when the track was born
     birth_xy_und: jax.Array # [N, 2] undistorted position at birth
     age: jax.Array       # [N] i32 frames tracked
-    # anchor template (birth patch + gradients) for drift-free refinement
+    # anchor template (birth patch + gradients) for drift-free refinement,
+    # at full resolution and at quarter resolution (coarse search)
     tpl: jax.Array       # [N, W*W] f32
     tpl_gx: jax.Array    # [N, W*W]
     tpl_gy: jax.Array    # [N, W*W]
+    tpl2: jax.Array      # [N, W*W] level-1 (half res)
+    tpl2_gx: jax.Array   # [N, W*W]
+    tpl2_gy: jax.Array   # [N, W*W]
 
     TPL_WIN = 13
 
@@ -62,6 +68,9 @@ class Tracks:
             tpl=jnp.zeros((n, tpl_win * tpl_win), dtype),
             tpl_gx=jnp.zeros((n, tpl_win * tpl_win), dtype),
             tpl_gy=jnp.zeros((n, tpl_win * tpl_win), dtype),
+            tpl2=jnp.zeros((n, tpl_win * tpl_win), dtype),
+            tpl2_gx=jnp.zeros((n, tpl_win * tpl_win), dtype),
+            tpl2_gy=jnp.zeros((n, tpl_win * tpl_win), dtype),
         )
 
     @property
@@ -81,21 +90,38 @@ def propagate_tracks(
     iters: int = 10,
     levels: int = 5,
 ) -> Tracks:
-    """KLT-propagate all tracks prev->cur and gate with F-RANSAC
+    """Propagate all tracks prev->cur and gate with F-RANSAC
     (reference: perform_matching, src/Tracking.cc:968-1080 — motion-model
-    guesses, calcOpticalFlowPyrLK, findFundamentalMat mask)."""
-    init = jnp.where(guess_ok[:, None], guess_xy, tracks.xy)
-    nxt, ok = klt_track(
-        pyr_prev, pyr_cur, tracks.xy, init, tracks.valid,
-        win=win, iters=iters, levels=levels,
-    )
-    ok = ok & tracks.valid
+    guesses, calcOpticalFlowPyrLK, findFundamentalMat mask).
 
-    # anchor refinement vs the birth template: removes chained-KLT drift
-    nxt, _ = anchor_refine(
-        pyr_cur[0], tracks.tpl, tracks.tpl_gx, tracks.tpl_gy,
-        nxt, ok, win=Tracks.TPL_WIN,
+    TPU redesign: instead of chaining pyramidal KLT frame-to-frame (15M
+    bilinear gathers/frame — the TPU's weakest op — and cumulative
+    template drift), each track is re-localized against its BIRTH
+    template in two anchor-refinement stages (quarter-res for capture
+    range, full-res for precision). ~100x fewer gathers and drift-free
+    by construction; `ops.klt.klt_track` remains available for classic
+    chained flow.
+    """
+    # dominant inter-frame translation from 1/4-res images: the capture-
+    # range provider for tracks without a motion-model guess
+    shift = global_shift(pyr_prev[2], pyr_cur[2], radius=8) * 4.0
+    start = jnp.where(guess_ok[:, None], guess_xy, tracks.xy + shift[None, :])
+
+    # mid: half-res anchor (capture ~ +-10 px at full res)
+    coarse, ok_c = anchor_refine_fast(
+        pyr_cur[1], tracks.tpl2, tracks.tpl2_gx, tracks.tpl2_gy,
+        start / 2.0, tracks.valid, win=Tracks.TPL_WIN, iters=10,
+        max_correction=5.0, max_residual=45.0,
     )
+    mid = jnp.where(ok_c[:, None], coarse * 2.0, start)
+
+    # fine: full-res anchor
+    nxt, ok_f = anchor_refine_fast(
+        pyr_cur[0], tracks.tpl, tracks.tpl_gx, tracks.tpl_gy,
+        mid, tracks.valid, win=Tracks.TPL_WIN,
+        max_correction=4.0, max_residual=32.0,
+    )
+    ok = tracks.valid & ok_f
 
     # fundamental-matrix gate between prev and cur positions
     _, _, inl = find_fundamental(ransac_key, tracks.xy, nxt, ok, sigma=1.0)
@@ -109,20 +135,43 @@ def propagate_tracks(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_features", "px_distance"))
+@functools.partial(jax.jit, static_argnames=("steer",))
+def refresh_descriptors(tracks: Tracks, img: jax.Array, steer: bool = False) -> Tracks:
+    """Recompute BRIEF descriptors (and angles) for all live tracks at
+    their CURRENT positions — the reference computes fresh descriptors
+    every frame (FrameKTL::compute_descriptors, src/FrameKTL.cc:227-269);
+    stale birth descriptors would make keyframe storage and projection
+    matching wide-baseline problems."""
+    from uvipslam_tpu.ops.image import gaussian_blur
+
+    blur = gaussian_blur(img, 7, 2.0)
+    if steer:
+        ang = ic_angles(blur, tracks.xy, tracks.valid)
+        desc = brief_descriptors(blur, tracks.xy, ang, tracks.valid)
+    else:
+        ang, desc = orient_and_describe_fast(blur, tracks.xy, tracks.valid)
+    return dataclasses.replace(
+        tracks,
+        angle=jnp.where(tracks.valid, ang, tracks.angle),
+        desc=jnp.where(tracks.valid[:, None], desc, tracks.desc),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "px_distance", "steer"))
 def refill_tracks(
     tracks: Tracks,
     img: jax.Array,
     frame_id: jax.Array,
     n_features: int = 400,
     px_distance: int = 20,
+    steer: bool = False,
 ) -> Tracks:
     """Detect new ORB features away from live tracks and place them into
     dead slots (reference: perform_detection_monocular,
     src/Tracking.cc:893-966 + the occupancy-aware ORBextractor)."""
     feats = extract_orb(
         img, tracks.xy, tracks.valid,
-        n_features=n_features, px_distance=px_distance,
+        n_features=n_features, px_distance=px_distance, steer=steer,
     )
     # order new detections by score (desc), dead slots in slot order
     det_order = jnp.argsort(-jnp.where(feats.valid, feats.score, -jnp.inf), stable=True)
@@ -143,11 +192,17 @@ def refill_tracks(
         cur = table[dst]
         return table.at[dst].set(jnp.where(sel, upd, cur))
 
-    tplT, tplX, tplY = extract_templates(img, feats.xy, win=Tracks.TPL_WIN)
+    tplT, tplX, tplY = extract_templates_fast(img, feats.xy, win=Tracks.TPL_WIN)
+    from uvipslam_tpu.ops.image import pyr_down
+    img2 = pyr_down(img)
+    tpl2T, tpl2X, tpl2Y = extract_templates_fast(img2, feats.xy / 2.0, win=Tracks.TPL_WIN)
     xy = fill(tracks.xy, feats.xy, 1)
     tpl = fill(tracks.tpl, tplT, 1)
     tpl_gx = fill(tracks.tpl_gx, tplX, 1)
     tpl_gy = fill(tracks.tpl_gy, tplY, 1)
+    tpl2 = fill(tracks.tpl2, tpl2T, 1)
+    tpl2_gx = fill(tracks.tpl2_gx, tpl2X, 1)
+    tpl2_gy = fill(tracks.tpl2_gy, tpl2Y, 1)
     desc = fill(tracks.desc, feats.desc, 1)
     level = fill(tracks.level, feats.level)
     angle = fill(tracks.angle, feats.angle)
@@ -162,4 +217,5 @@ def refill_tracks(
         tracks, xy=xy, desc=desc, level=level, angle=angle, valid=valid,
         pt_id=pt_id, birth_frame=birth, age=age,
         tpl=tpl, tpl_gx=tpl_gx, tpl_gy=tpl_gy,
+        tpl2=tpl2, tpl2_gx=tpl2_gx, tpl2_gy=tpl2_gy,
     )

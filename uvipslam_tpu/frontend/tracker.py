@@ -26,7 +26,7 @@ import numpy as np
 
 from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
-from uvipslam_tpu.frontend.frame import Tracks, propagate_tracks, refill_tracks
+from uvipslam_tpu.frontend.frame import Tracks, propagate_tracks, refill_tracks, refresh_descriptors
 from uvipslam_tpu.mapstate.map import MapState
 from uvipslam_tpu.models.camera import CameraModel
 from uvipslam_tpu.ops import hamming
@@ -159,6 +159,7 @@ class MonoTracker:
                     self.tracks, img, self.frame_id,
                     n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
                 )
+                self.tracks = refresh_descriptors(self.tracks, img)
                 self.tracks = self._undistort(self.tracks)
                 newborn = self.tracks.birth_frame == self.frame_id
                 self.tracks = dataclasses.replace(
@@ -172,7 +173,8 @@ class MonoTracker:
                 status.update(state="WORKING", n_inliers=int(n_in))
 
         elif self.state == LOST:
-            status.update(state="LOST")
+            ok = self._relocalize(img)
+            status.update(state="WORKING" if ok else "LOST", relocalized=ok)
 
         self.pyr_prev = pyr
         if self.state == WORKING:
@@ -349,6 +351,67 @@ class MonoTracker:
         self.last_kf_frame = self.frame_id
         self.last_kf_tracks = self.tracks
         self.n_ref_tracked = int(jnp.sum(t.valid & (t.pt_id >= 0)))
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, img) -> bool:
+        """BoW-candidate + PnP relocalization from the LOST state
+        (reference: Tracking::Relocalisation, src/Tracking.cc:2373-2534 —
+        DetectRelocalisationCandidates, SearchByBoW, PnPsolver RANSAC,
+        PoseOptimization, accept at >= 50 inliers; threshold scaled to
+        our track capacity)."""
+        from uvipslam_tpu.frontend.frame import Tracks, refill_tracks
+        from uvipslam_tpu.loop.reloc import relocalize_frame
+
+        fresh = refill_tracks(
+            Tracks.empty(self.cfg.n_tracks), img, self.frame_id,
+            n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
+        )
+        # level-0 descriptors (landmark descriptors are maintained at
+        # level-0 scale by the per-frame refresh)
+        fresh = refresh_descriptors(fresh, img)
+        fresh = self._undistort(fresh)
+        R, t, pt_id, n_in, top_kfs = relocalize_frame(
+            fresh, self.map, self._split(),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+        )
+        fresh = dataclasses.replace(
+            fresh,
+            pt_id=pt_id,
+            birth_frame=jnp.full_like(fresh.birth_frame, self.frame_id),
+            birth_xy_und=fresh.xy_und,
+        )
+        # seed poses: the PnP consensus pose (when found) plus each
+        # candidate keyframe's own pose — the projection search that
+        # follows provides the recall (the reference likewise follows PnP
+        # with SearchByProjection before accepting,
+        # src/Tracking.cc:2469-2520, and its IMU relocalization seeds a
+        # projection search from a prior pose, :3012-3060)
+        seeds = []
+        if int(n_in) >= 6:
+            seeds.append((lie.normalize_rotation(R), t))
+        for k in [int(x) for x in np.asarray(top_kfs)]:
+            ns_k = jax.tree_util.tree_map(lambda a: a[k], self.map.kf_ns)
+            seeds.append(_ns_to_cam_pose(ns_k))
+
+        best = None
+        for R0, t0 in seeds:
+            R2, t2, inl2, n2, tracks2 = _pose_and_localmap_jit(
+                fresh, self.map, R0, t0,
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+            )
+            n2 = int(n2)
+            if best is None or n2 > best[0]:
+                best = (n2, R2, t2, tracks2)
+        n2, R2, t2, tracks2 = best
+        if n2 < max(self.cfg.min_tracked, 15):
+            return False
+        self.tracks = tracks2
+        self.Rcw, self.tcw = lie.normalize_rotation(R2), t2
+        self.R_vel = jnp.eye(3, dtype=jnp.float32)
+        self.t_vel = jnp.zeros(3, jnp.float32)
+        self.state = WORKING
+        return True
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, m: MapState, fixed_slots=None) -> MapState:
@@ -545,24 +608,57 @@ def _triangulate_new_jit(m: MapState, t: Tracks, ring_R, ring_t, ring_frame,
     return m2, t2
 
 
+W_KF_BA = 16  # BA window: pose-block size is independent of kf capacity
+
+
 @jax.jit
 def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
-    pt_mask = m.pt_valid
-    obs_kf, obs_pt, obs_uv, obs_level, obs_ok = m.observations_of(pt_mask)
+    """Windowed visual BA: the LAST `W_KF_BA` keyframe slots are sliced
+    out with `dynamic_slice` so the dense pose block stays W*6 wide
+    regardless of map capacity (the reference's window is 10 KFs +
+    boundary; observations from older keyframes are dropped rather than
+    kept as fixed anchors — the window's own fixed slots provide the
+    gauge)."""
+    W = W_KF_BA
+    lo = jnp.clip(m.n_kf - W, 0, m.kf_cap - W).astype(jnp.int32)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, lo, W, axis=0)
+
+    kf_ns_w = jax.tree_util.tree_map(sl, m.kf_ns)
+    kf_valid_w = sl(m.kf_valid)
+    kf_fixed_w = sl(kf_fixed)
+    feat_pt_w = sl(m.kf_feat_pt)
+    feat_valid_w = sl(m.kf_feat_valid)
+    feat_xy_w = sl(m.kf_feat_xy)
+    feat_level_w = sl(m.kf_feat_level)
+
+    F = feat_pt_w.shape[1]
+    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F)).reshape(-1)
+    obs_pt = feat_pt_w.reshape(-1)
+    obs_ok = (obs_pt >= 0) & feat_valid_w.reshape(-1)
+    obs_ok = obs_ok & m.pt_valid[jnp.clip(obs_pt, 0, m.pt_cap - 1)]
+    obs_pt = jnp.clip(obs_pt, 0, m.pt_cap - 1)
+    obs_uv = feat_xy_w.reshape(W * F, 2)
+    obs_level = feat_level_w.reshape(-1)
     inv_sig = 1.0 / scale_sigmas[jnp.clip(obs_level, 0, scale_sigmas.shape[0] - 1)]
 
-    kf_R, kf_t = jax.vmap(_ns_to_cam_pose)(m.kf_ns)
+    kf_R, kf_t = jax.vmap(_ns_to_cam_pose)(kf_ns_w)
     Rn, tn, pts, inl = local_ba_se3(
-        kf_R, kf_t, kf_fixed, m.kf_valid,
-        m.pt_xyz, pt_mask,
+        kf_R, kf_t, kf_fixed_w, kf_valid_w,
+        m.pt_xyz, m.pt_valid,
         obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
         fx, fy, cx, cy, n_iters=5, rounds=2,
     )
     ns_new = jax.vmap(_cam_pose_to_ns)(Rn, tn)
-    # drop observations that BA rejected
-    K, F = m.kf_feat_pt.shape
-    inl_grid = inl.reshape(K, F) | ~obs_ok.reshape(K, F)
-    kf_feat_pt = jnp.where(inl_grid, m.kf_feat_pt, -1)
+    # write the window back
+    kf_ns2 = jax.tree_util.tree_map(
+        lambda tbl, w: jax.lax.dynamic_update_slice_in_dim(tbl, w, lo, axis=0),
+        m.kf_ns, ns_new,
+    )
+    inl_grid = inl.reshape(W, F) | ~obs_ok.reshape(W, F)
+    feat_pt2 = jnp.where(inl_grid, feat_pt_w, -1)
+    kf_feat_pt = jax.lax.dynamic_update_slice_in_dim(m.kf_feat_pt, feat_pt2, lo, axis=0)
     return dataclasses.replace(
-        m, kf_ns=ns_new, pt_xyz=pts, kf_feat_pt=kf_feat_pt
+        m, kf_ns=kf_ns2, pt_xyz=pts, kf_feat_pt=kf_feat_pt
     )

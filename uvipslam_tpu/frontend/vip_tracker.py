@@ -1,0 +1,550 @@
+"""Visual-Inertial-Pressure tracking (the reference's Mode=2 VIP).
+
+Extends the monocular pipeline with the reference's inertial layers
+(reference: src/Tracking.cc TrackWithIMU/PredictNavStateByIMU,
+LocalMapping::TryInitVIO, Optimizer VI graphs):
+
+  * per-frame IMU preintegration (frame-to-frame for prediction +
+    accumulated since the last keyframe for the KF graph);
+  * monocular bootstrap exactly as MONO mode, while accumulating the
+    quantities VIO init needs;
+  * TryInitVIO after enough keyframes/time: gyro bias (GN), gravity
+    direction (accelerometer average), metric SCALE from the pressure
+    channel (the paper's method), world re-scale + gravity alignment +
+    velocity recovery + preintegration re-run with the estimated bias;
+  * after init: NavState tracking — IMU prediction, 15-dof pose
+    optimization with preintegration/bias/pressure factors, VI window BA.
+
+Body frame == camera frame in this build (Tbc extrinsics are plumbed as
+config but identity for the synthetic benchmark suite; reference Aqualoc
+runs use Data/*.yaml Tbc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.lie import mm, mv
+from uvipslam_tpu.core.preintegration import (
+    PreintState,
+    preintegrate,
+    preintegrate_continue,
+)
+from uvipslam_tpu.core.state import NavState
+from uvipslam_tpu.frontend.tracker import (
+    LOST,
+    WORKING,
+    MonoTracker,
+    TrackerConfig,
+    _cam_pose_to_ns,
+    _ns_to_cam_pose,
+)
+from uvipslam_tpu.mapstate.map import MapState
+from uvipslam_tpu.solver.local_ba import local_ba_navstate
+from uvipslam_tpu.solver.pose_opt import pose_optimization_vi
+from uvipslam_tpu.vio import init as vio_init
+
+
+@dataclasses.dataclass
+class VipConfig(TrackerConfig):
+    gyr_noise_sd: float = 0.01414
+    acc_noise_sd: float = 0.28284
+    gyr_bias_rw2: float = 2.5e-9     # (5e-5)^2
+    acc_bias_rw2: float = 1e-6       # (1e-3)^2
+    depth_noise_sd: float = 0.5
+    gravity: tuple = (0.0, 0.0, -9.81)
+    vio_init_min_kfs: int = 5
+    vio_init_min_time: float = 3.0   # seconds of KF span (22 s on Aqualoc)
+    imu_cap_per_kf: int = 256
+
+
+class VipTracker(MonoTracker):
+    """Host-orchestrated VIP pipeline (jitted phases, like MonoTracker)."""
+
+    def __init__(self, cam, cfg: VipConfig | None = None,
+                 kf_cap: int = 128, pt_cap: int = 8192, seed: int = 0):
+        cfg = cfg or VipConfig()
+        super().__init__(cam, cfg, kf_cap, pt_cap, seed)
+        S = cfg.imu_cap_per_kf
+        self.vio_ok = False
+        self.gravity_w = jnp.asarray(cfg.gravity, jnp.float32)
+        self.ns = NavState.identity(dtype=jnp.float32)       # current body state
+        self.ns_prev = NavState.identity(dtype=jnp.float32)  # previous frame
+        # preintegration accumulated since last KF + its raw window
+        self.preint_kf = PreintState.zero(dtype=jnp.float32)
+        self.kf_imu = dict(
+            omg=jnp.zeros((S, 3), jnp.float32), acc=jnp.zeros((S, 3), jnp.float32),
+            dt=jnp.zeros((S,), jnp.float32), mask=jnp.zeros((S,), jnp.float32),
+            n=0,
+        )
+        # accelerometer average in the vision world frame (gravity est.)
+        self.accw_sum = jnp.zeros(3, jnp.float32)
+        self.accw_n = 0.0
+        self.cur_depth = jnp.asarray(0.0, jnp.float32)
+        self.cur_depth_valid = False
+        self.frame_time = 0.0
+        self.dt_frame = 0.05
+
+    # ------------------------------------------------------------------
+    def process_frame_vip(self, img, imu_omg, imu_acc, imu_dt, imu_mask,
+                          depth=0.0, depth_valid=False, timestamp=None):
+        """Feed one frame bundle (grayscale image + IMU window since the
+        previous frame + optional pressure depth)."""
+        imu_omg = jnp.asarray(imu_omg, jnp.float32)
+        imu_acc = jnp.asarray(imu_acc, jnp.float32)
+        imu_dt = jnp.asarray(imu_dt, jnp.float32)
+        imu_mask = jnp.asarray(imu_mask, jnp.float32)
+        self.cur_depth = jnp.asarray(float(depth), jnp.float32)
+        self.cur_depth_valid = bool(depth_valid)
+        if timestamp is not None:
+            self.frame_time = float(timestamp)
+        else:
+            self.frame_time += self.dt_frame
+
+        # frame-to-frame preintegration with current bias estimates
+        pre_frame = preintegrate(
+            imu_omg, imu_acc, imu_dt, imu_mask,
+            self.ns.bg_total, self.ns.ba_total,
+            self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+        )
+        self.pre_frame = pre_frame
+
+        # accumulate since-KF preintegration (bias 0: re-run at VIO init)
+        z3 = jnp.zeros(3, jnp.float32)
+        self.preint_kf = preintegrate_continue(
+            self.preint_kf, imu_omg, imu_acc, imu_dt, imu_mask, z3, z3,
+            self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+        )
+        # stash raw samples into the per-KF window
+        n0 = self.kf_imu["n"]
+        nsamp = int(np.asarray(jnp.sum(imu_mask)))
+        S = self.kf_imu["dt"].shape[0]
+        take = min(nsamp, S - n0)
+        if take > 0:
+            sl = slice(n0, n0 + take)
+            self.kf_imu["omg"] = self.kf_imu["omg"].at[sl].set(imu_omg[:take])
+            self.kf_imu["acc"] = self.kf_imu["acc"].at[sl].set(imu_acc[:take])
+            self.kf_imu["dt"] = self.kf_imu["dt"].at[sl].set(imu_dt[:take])
+            self.kf_imu["mask"] = self.kf_imu["mask"].at[sl].set(imu_mask[:take])
+            self.kf_imu["n"] = n0 + take
+
+        # accumulate world-frame specific force for gravity estimation
+        if not self.vio_ok and self.state == WORKING:
+            Rwb = jnp.swapaxes(self.Rcw, -1, -2)  # body==camera
+            mean_acc = jnp.sum(imu_acc * imu_mask[:, None], 0) / jnp.maximum(jnp.sum(imu_mask), 1.0)
+            self.accw_sum = self.accw_sum + mv(Rwb, mean_acc)
+            self.accw_n += 1.0
+
+        if not self.vio_ok:
+            was_state = self.state
+            status = super().process_frame(img)
+            # keep the since-KF accumulators aligned with keyframe intervals:
+            # restart them when the mono init window (re)starts and when the
+            # two bootstrap keyframes are created (their preints stay zero —
+            # zero-dt edges are masked out everywhere)
+            if status.get("state") == "NOT_INITIALIZED" or status.get("initialized"):
+                self._reset_kf_accumulators()
+            return status
+
+        # ---------------- VI(P) tracking path --------------------------
+        return self._process_frame_vi(img, pre_frame)
+
+    # ------------------------------------------------------------------
+    def _process_frame_vi(self, img, pre_frame):
+        import uvipslam_tpu.frontend.tracker as HT
+        from uvipslam_tpu.frontend.frame import propagate_tracks, refill_tracks, refresh_descriptors
+        from uvipslam_tpu.ops.klt import build_flow_pyramid
+
+        self.frame_id += 1
+        img = jnp.asarray(img, jnp.float32)
+        pyr = tuple(build_flow_pyramid(img, self.cfg.n_levels_klt))
+
+        # predict NavState by IMU (reference: PredictNavStateByIMU)
+        g = self.gravity_w
+        dt = pre_frame.dt
+        ns_pred = dataclasses.replace(
+            self.ns,
+            p=self.ns.p + self.ns.v * dt + 0.5 * g * dt * dt + mv(self.ns.R, pre_frame.dP),
+            v=self.ns.v + g * dt + mv(self.ns.R, pre_frame.dV),
+            R=lie.normalize_rotation(mm(self.ns.R, pre_frame.dR)),
+        )
+        Rcw_pred, tcw_pred = _ns_to_cam_pose(ns_pred)
+
+        if self.pyr_prev is not None:
+            guess, guess_ok = HT._motion_guess_jit(
+                self.tracks, self.map, Rcw_pred, tcw_pred,
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            )
+            self.tracks = propagate_tracks(
+                self.tracks, self.pyr_prev, pyr, guess, guess_ok, self._split(),
+                win=self.cfg.klt_win, iters=self.cfg.klt_iters,
+                levels=self.cfg.n_levels_klt,
+            )
+        self.tracks = self._undistort(self.tracks)
+
+        ns_opt, inlier, n_in, tracks2 = _vi_track_jit(
+            self.tracks, self.map, ns_pred, self.ns, pre_frame,
+            self.gravity_w, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+            self.cfg.gyr_bias_rw2, self.cfg.acc_bias_rw2,
+            self.cur_depth, jnp.asarray(
+                (1.0 / self.cfg.depth_noise_sd**2) if self.cur_depth_valid else 0.0,
+                jnp.float32),
+        )
+        n_in = int(n_in)
+        status = {}
+        if n_in < self.cfg.min_tracked:
+            self.state = LOST
+            status.update(state="LOST", n_inliers=n_in)
+        else:
+            self.tracks = tracks2
+            self.ns_prev = self.ns
+            self.ns = ns_opt
+            self.Rcw, self.tcw = _ns_to_cam_pose(ns_opt)
+            self.tracks = refill_tracks(
+                self.tracks, img, self.frame_id,
+                n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
+            )
+            self.tracks = refresh_descriptors(self.tracks, img)
+            self.tracks = self._undistort(self.tracks)
+            newborn = self.tracks.birth_frame == self.frame_id
+            self.tracks = dataclasses.replace(
+                self.tracks,
+                birth_xy_und=jnp.where(newborn[:, None], self.tracks.xy_und,
+                                       self.tracks.birth_xy_und),
+            )
+            if self._need_keyframe(n_in):
+                self._create_keyframe()
+            status.update(state="WORKING", n_inliers=n_in, vio=True)
+
+        self.pyr_prev = pyr
+        if self.state == WORKING:
+            slot = self.frame_id % self.RING
+            self.ring_R = self.ring_R.at[slot].set(self.Rcw)
+            self.ring_t = self.ring_t.at[slot].set(self.tcw)
+            self.ring_frame = self.ring_frame.at[slot].set(self.frame_id)
+            self.trajectory.append(
+                (self.frame_id, np.asarray(self.Rcw), np.asarray(self.tcw))
+            )
+        return status
+
+    # ------------------------------------------------------------------
+    # keyframe handling: store inertial data, run the right BA, try VIO init
+    # ------------------------------------------------------------------
+    def _create_keyframe(self):
+        import uvipslam_tpu.frontend.tracker as HT
+
+        t = self.tracks
+        m = self.map
+        ns = self.ns if self.vio_ok else _cam_pose_to_ns(self.Rcw, self.tcw)
+        m, t = HT._triangulate_new_jit(
+            m, t, self.ring_R, self.ring_t, self.ring_frame,
+            self.Rcw, self.tcw,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.frame_id, jnp.int32),
+            jnp.asarray(self.last_kf_slot, jnp.int32),
+        )
+        m, k = m.add_keyframe(
+            ns, jnp.asarray(self.frame_time, jnp.float32),
+            jnp.asarray(self.frame_id, jnp.int32),
+            t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
+            self.cur_depth, jnp.asarray(self.cur_depth_valid),
+            self.preint_kf, jnp.asarray(self.last_kf_slot, jnp.int32),
+            imu_omg=self.kf_imu["omg"], imu_acc=self.kf_imu["acc"],
+            imu_dt=self.kf_imu["dt"], imu_mask=self.kf_imu["mask"],
+        )
+        if self.vio_ok:
+            m = self._run_vi_ba(m)
+        else:
+            m = self._run_local_ba(m)
+        self.map = m
+        self.tracks = t
+        k_int = int(k)
+        ns_k = jax.tree_util.tree_map(lambda a: a[k_int], m.kf_ns)
+        if self.vio_ok:
+            self.ns = ns_k
+        self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+        self.last_kf_slot = k_int
+        self.last_kf_frame = self.frame_id
+        self.last_kf_tracks = self.tracks
+        self.n_ref_tracked = int(jnp.sum(t.valid & (t.pt_id >= 0)))
+        # reset the since-KF accumulators
+        self._reset_kf_accumulators()
+        if not self.vio_ok:
+            self._maybe_init_vio()
+
+    def _reset_kf_accumulators(self):
+        S = self.kf_imu["dt"].shape[0]
+        self.preint_kf = PreintState.zero(dtype=jnp.float32)
+        self.kf_imu = dict(
+            omg=jnp.zeros((S, 3), jnp.float32), acc=jnp.zeros((S, 3), jnp.float32),
+            dt=jnp.zeros((S,), jnp.float32), mask=jnp.zeros((S,), jnp.float32), n=0,
+        )
+
+    # ------------------------------------------------------------------
+    def _run_vi_ba(self, m: MapState) -> MapState:
+        return _vi_ba_jit(
+            m, self.gravity_w,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+            self.cfg.gyr_bias_rw2, self.cfg.acc_bias_rw2,
+            jnp.asarray(1.0 / self.cfg.depth_noise_sd**2, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def _maybe_init_vio(self):
+        m = self.map
+        n_kf = int(m.n_kf)
+        if n_kf < self.cfg.vio_init_min_kfs:
+            return
+        t_span = float(m.kf_time[n_kf - 1] - m.kf_time[0])
+        if t_span < self.cfg.vio_init_min_time:
+            return
+
+        # 1. gyro bias over consecutive KF pairs (vision rotations)
+        pair_mask = m.kf_valid & (m.kf_prev >= 0)
+        bg = vio_init.estimate_gyro_bias(
+            m.kf_ns.R, m.kf_preint.dR, m.kf_preint.J_R_bg, pair_mask,
+        )
+
+        # 2. re-integrate all KF preints with the bias (ComputePreInt)
+        z3 = jnp.zeros(3, jnp.float32)
+        pre2 = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, bg, z3,
+                self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+        )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
+
+        # 3. gravity direction in the vision world (accel average)
+        ghat = self.accw_sum / jnp.maximum(jnp.linalg.norm(self.accw_sum), 1e-9)
+        # measured mean specific force direction ~ -gravity direction
+        g_dir_vision = -ghat
+        g_cfg_dir = self.gravity_w / jnp.maximum(jnp.linalg.norm(self.gravity_w), 1e-9)
+        # rotation taking the vision gravity direction onto the configured one
+        v = jnp.cross(g_dir_vision, g_cfg_dir)
+        sn = jnp.linalg.norm(v)
+        cs = jnp.dot(g_dir_vision, g_cfg_dir)
+        axis = v / jnp.where(sn < 1e-9, 1.0, sn)
+        R_align = lie.so3_exp(axis * jnp.arctan2(sn, cs))
+
+        # 4. metric scale from pressure on gravity-aligned z
+        z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
+        has_depth = m.kf_valid & m.kf_depth_valid
+        if int(jnp.sum(has_depth)) < 3:
+            return
+        s_gn, s_naive = vio_init.estimate_scale_from_pressure(
+            z_aligned, m.kf_depth, has_depth,
+        )
+        scale = float(s_gn)
+        if not np.isfinite(scale) or scale <= 1e-3:
+            return
+
+        # 5. apply: rotate + rescale the whole world (Map::UpdateScale)
+        self._apply_world_sim3(jnp.asarray(scale, jnp.float32), R_align)
+        m = self.map
+
+        # depth-anchor offset: world z == pressure depth
+        z_now = m.kf_ns.p[:, 2]
+        off = jnp.sum(jnp.where(has_depth, m.kf_depth - z_now, 0.0)) / jnp.maximum(
+            jnp.sum(has_depth), 1)
+        p_shift = m.kf_ns.p.at[:, 2].add(jnp.where(m.kf_valid, off, 0.0))
+        pts_shift = m.pt_xyz.at[:, 2].add(jnp.where(m.pt_valid, off, 0.0))
+
+        # 6. velocities + biases into the KF table
+        kf_ns = dataclasses.replace(
+            m.kf_ns, p=p_shift,
+            bg=jnp.broadcast_to(bg, m.kf_ns.bg.shape),
+        )
+        # velocities_from_positions expects slot k = preint (k-1)->k and
+        # rolls internally; pre2 is already in that convention
+        v = vio_init.velocities_from_positions(
+            kf_ns.p, kf_ns.R, pre2.dP, pre2.dt,
+            self.gravity_w, m.kf_valid,
+        )
+        # the newest KF has no following preint: adopt the previous KF's
+        # velocity (the reference sets the last KF's velocity from the
+        # current frame's finite difference the same way)
+        k_last = int(m.n_kf) - 1
+        if k_last >= 1:
+            v = v.at[k_last].set(v[k_last - 1])
+        kf_ns = dataclasses.replace(kf_ns, v=v)
+        self.map = dataclasses.replace(
+            m, kf_ns=kf_ns, pt_xyz=pts_shift,
+            kf_preint=pre2,
+        )
+
+        # current-frame state: adopt last KF's state
+        k = int(self.map.n_kf) - 1
+        self.ns = jax.tree_util.tree_map(lambda a: a[k], self.map.kf_ns)
+        self.ns_prev = self.ns
+        self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+        self.vio_ok = True
+
+    # ------------------------------------------------------------------
+    def _apply_world_sim3(self, s, R_align):
+        """x' = s * R_align @ x on every world-frame quantity
+        (reference: Map::UpdateScale + the NavState updates in
+        TryInitVIO's acceptance block)."""
+        m = self.map
+        kf_ns = dataclasses.replace(
+            m.kf_ns,
+            p=s * mv(R_align, m.kf_ns.p),
+            v=s * mv(R_align, m.kf_ns.v),
+            R=mm(jnp.broadcast_to(R_align, m.kf_ns.R.shape), m.kf_ns.R),
+        )
+        self.map = dataclasses.replace(
+            m, kf_ns=kf_ns,
+            pt_xyz=s * mv(R_align, m.pt_xyz),
+        )
+        # current pose & motion model & ring
+        self.Rcw = mm(self.Rcw, jnp.swapaxes(R_align, -1, -2))
+        self.tcw = s * self.tcw
+        self.t_vel = s * self.t_vel
+        self.ring_R = mm(self.ring_R, jnp.swapaxes(R_align, -1, -2)[None])
+        self.ring_t = s * self.ring_t
+
+
+def _vi_track_jit(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
+                  fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
+                  depth, depth_info):
+    """VI pose solve + local-map re-association + second solve
+    (reference: TrackWithIMU + TrackLocalMapWithIMU)."""
+    return __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
+                           fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
+                           depth, depth_info)
+
+
+@jax.jit
+def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
+                    fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
+                    depth, depth_info):
+    import uvipslam_tpu.frontend.tracker as HT
+    from uvipslam_tpu.ops import hamming
+
+    dtype = jnp.float32
+    has_pt = tracks.valid & (tracks.pt_id >= 0)
+    pid = jnp.clip(tracks.pt_id, 0, m.pt_cap - 1)
+    pw = m.pt_xyz[pid]
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
+    Rcb = jnp.eye(3, dtype=dtype)
+    tcb = jnp.zeros(3, dtype)
+
+    ns1, inl1, n1, _ = pose_optimization_vi(
+        ns_pred, ns_ref, pre_frame, pw, tracks.xy_und,
+        has_pt & m.pt_valid[pid], inv_sig, gravity, Rcb, tcb,
+        fx, fy, cx, cy, gyr_rw2, acc_rw2,
+        depth_meas=depth, depth_info=depth_info,
+        use_depth=True, rounds=3, iters=8,
+    )
+
+    # local-map re-association at the refined pose
+    Rcw, tcw = _ns_to_cam_pose(ns1)
+    local_pts = m.pt_valid
+    pc = mv(Rcw, m.pt_xyz) + tcw
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    proj = jnp.stack([fx * pc[:, 0] / zs + cx, fy * pc[:, 1] / zs + cy], -1)
+    vis = local_pts & (z > 0.1)
+    free = tracks.valid & (tracks.pt_id < 0)
+    pair = hamming.window_mask(tracks.xy_und, proj, 9.0)
+    idx, dist, ok = hamming.match_best(
+        tracks.desc, m.pt_desc, free, vis, pair_mask=pair,
+        max_dist=hamming.TH_HIGH, ratio=0.9,
+    )
+    INF = jnp.asarray(1e9, dtype)
+    best_per_pt = jnp.full((m.pt_cap,), INF).at[jnp.where(ok, idx, m.pt_cap - 1)].min(
+        jnp.where(ok, dist, INF))
+    keep = ok & (dist <= best_per_pt[idx])
+    tracks2 = dataclasses.replace(
+        tracks, pt_id=jnp.where(keep, idx, tracks.pt_id).astype(jnp.int32))
+
+    has2 = tracks2.valid & (tracks2.pt_id >= 0)
+    pid2 = jnp.clip(tracks2.pt_id, 0, m.pt_cap - 1)
+    pw2 = m.pt_xyz[pid2]
+    ns2, inl2, n2, H_post = pose_optimization_vi(
+        ns1, ns_ref, pre_frame, pw2, tracks2.xy_und,
+        has2 & m.pt_valid[pid2],
+        1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
+        gravity, Rcb, tcb, fx, fy, cx, cy, gyr_rw2, acc_rw2,
+        depth_meas=depth, depth_info=depth_info,
+        use_depth=True, rounds=2, iters=8,
+    )
+
+    # sever hopeless associations only
+    Rcw2, tcw2 = _ns_to_cam_pose(ns2)
+    pc2 = mv(Rcw2, pw2) + tcw2
+    z2 = jnp.where(jnp.abs(pc2[..., 2]) < 1e-6, 1e-6, pc2[..., 2])
+    uv2 = jnp.stack([fx * pc2[..., 0] / z2 + cx, fy * pc2[..., 1] / z2 + cy], -1)
+    err2 = jnp.sum((uv2 - tracks2.xy_und) ** 2, -1)
+    hopeless = has2 & ((err2 > 100.0) | (pc2[..., 2] <= 0))
+    tracks3 = dataclasses.replace(
+        tracks2, pt_id=jnp.where(hopeless, -1, tracks2.pt_id))
+    return ns2, inl2, n2, tracks3
+
+
+W_KF_BA = 16
+
+
+@jax.jit
+def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
+               gyr_rw2, acc_rw2, depth_inv_var):
+    """Windowed VI(P) BA over the last `W_KF_BA` keyframe slots (see
+    tracker._local_ba_jit for the windowing rationale). The first slot
+    of the window is the fixed boundary keyframe (its preint edge points
+    outside and is masked)."""
+    W = W_KF_BA
+    lo = jnp.clip(m.n_kf - W, 0, m.kf_cap - W).astype(jnp.int32)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, lo, W, axis=0)
+
+    kf_ns_w = jax.tree_util.tree_map(sl, m.kf_ns)
+    kf_valid_w = sl(m.kf_valid)
+    pre_w = jax.tree_util.tree_map(sl, m.kf_preint)
+    depth_w = sl(m.kf_depth)
+    depth_ok_w = sl(m.kf_depth_valid)
+    feat_pt_w = sl(m.kf_feat_pt)
+    feat_valid_w = sl(m.kf_feat_valid)
+    feat_xy_w = sl(m.kf_feat_xy)
+    feat_level_w = sl(m.kf_feat_level)
+
+    F = feat_pt_w.shape[1]
+    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F)).reshape(-1)
+    obs_pt = feat_pt_w.reshape(-1)
+    obs_ok = (obs_pt >= 0) & feat_valid_w.reshape(-1)
+    obs_ok = obs_ok & m.pt_valid[jnp.clip(obs_pt, 0, m.pt_cap - 1)]
+    obs_pt = jnp.clip(obs_pt, 0, m.pt_cap - 1)
+    obs_uv = feat_xy_w.reshape(W * F, 2)
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(feat_level_w.reshape(-1), 0, scale_sigmas.shape[0] - 1)]
+
+    # boundary (first window slot) fixed; consecutive preint edges within
+    # the window, first one masked (it refers outside the window)
+    idx = jnp.arange(W, dtype=jnp.int32)
+    fixed = kf_valid_w & (idx == 0)
+    pre_j = idx
+    pre_i = jnp.clip(idx - 1, 0, W - 1)
+    pre_mask = kf_valid_w & (idx > 0) & (pre_w.dt > 1e-6)
+
+    depth_info = jnp.where(depth_ok_w & kf_valid_w, depth_inv_var, 0.0)
+
+    kf2, pts2, obs_in = local_ba_navstate(
+        kf_ns_w, fixed, kf_valid_w, m.pt_xyz, m.pt_valid,
+        obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
+        pre_i, pre_j, pre_w, pre_mask,
+        gravity, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        fx, fy, cx, cy, gyr_rw2, acc_rw2,
+        depth_w, depth_info, n_iters=5, rounds=2,
+    )
+    kf_ns2 = jax.tree_util.tree_map(
+        lambda tbl, w: jax.lax.dynamic_update_slice_in_dim(tbl, w, lo, axis=0),
+        m.kf_ns, kf2,
+    )
+    inl_grid = obs_in.reshape(W, F) | ~obs_ok.reshape(W, F)
+    feat_pt2 = jnp.where(inl_grid, feat_pt_w, -1)
+    kf_feat_pt = jax.lax.dynamic_update_slice_in_dim(m.kf_feat_pt, feat_pt2, lo, axis=0)
+    return dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2, kf_feat_pt=kf_feat_pt)

@@ -82,6 +82,7 @@ def make_sequence(
     acc_bias: tuple = (0.03, -0.02, 0.04),
     depth_noise: float = 0.05,
     sprite: int = 9,
+    z_amp: float = 0.1,
 ) -> SyntheticSequence:
     rs = np.random.RandomState(seed)
     fx = fy = 0.65 * W
@@ -97,7 +98,7 @@ def make_sequence(
         if motion == "arc":
             cx_w = speed * t
             cy_w = 0.15 * np.sin(0.7 * t)
-            cz_w = 0.1 * np.sin(0.5 * t)      # depth variation for pressure
+            cz_w = z_amp * np.sin(0.5 * t)    # depth variation for pressure
             yaw = 0.12 * np.sin(0.4 * t)
         else:  # forward
             cx_w, cy_w, cz_w, yaw = 0.0, 0.0, speed * t, 0.0
@@ -114,8 +115,13 @@ def make_sequence(
     R_cw = np.asarray(R_cw_list)
     t_cw = np.asarray(t_cw_list)
 
-    # ---- sprite field in front of the trajectory ----
+    # ---- multi-scale sprite field in front of the trajectory ----
+    # three size classes give continuous multi-frequency texture (large
+    # background patches + mid + small detail), so descriptors see stable
+    # local content like on real imagery instead of isolated dots
     span_x = speed * ts[-1] + 6.0
+    sizes = np.array([sprite, sprite * 2 + 1, sprite * 4 + 1])
+    cls = rs.choice(3, n_points, p=[0.6, 0.3, 0.1])
     pts = np.stack(
         [
             rs.uniform(-3.0, span_x, n_points),
@@ -124,43 +130,58 @@ def make_sequence(
         ],
         axis=-1,
     )
-    sprites = rs.uniform(30, 225, (n_points, sprite, sprite)).astype(np.float32)
+    # spatially-correlated textures: random at ~1/3 resolution, bilinearly
+    # upsampled — real imagery is smooth at pixel scale, and per-pixel
+    # white noise would make ANY binary descriptor decorrelate under
+    # sub-pixel shifts (verified: BRIEF distance ~90/256 for true pairs
+    # on white-noise sprites vs ~35 on correlated ones)
+    def make_texture(sz):
+        lo = max(3, sz // 3)
+        base = rs.uniform(20, 235, (lo, lo)).astype(np.float32)
+        yi = np.linspace(0, lo - 1, sz)
+        xi = np.linspace(0, lo - 1, sz)
+        y0 = np.clip(yi.astype(int), 0, lo - 2)
+        x0 = np.clip(xi.astype(int), 0, lo - 2)
+        wy = (yi - y0)[:, None]
+        wx = (xi - x0)[None, :]
+        return ((1 - wy) * (1 - wx) * base[y0][:, x0]
+                + (1 - wy) * wx * base[y0][:, x0 + 1]
+                + wy * (1 - wx) * base[y0 + 1][:, x0]
+                + wy * wx * base[y0 + 1][:, x0 + 1]).astype(np.float32)
+
+    sprites = [make_texture(int(sizes[c])) for c in cls]
 
     # ---- render ----
-    half = sprite // 2
     images = np.zeros((n_frames, H, W), np.float32)
-    yy, xx = np.mgrid[0:sprite, 0:sprite]
     for f in range(n_frames):
-        img = np.full((H, W), 12.0, np.float32)
+        img = np.full((H, W), 60.0, np.float32)
         pc = pts @ R_cw[f].T + t_cw[f]
         z = pc[:, 2]
         vis = z > 0.5
         u = fx * pc[:, 0] / np.where(vis, z, 1.0) + cx
         v = fy * pc[:, 1] / np.where(vis, z, 1.0) + cy
-        vis &= (u > -sprite) & (u < W + sprite) & (v > -sprite) & (v < H + sprite)
+        max_s = int(sizes.max())
+        vis &= (u > -max_s) & (u < W + max_s) & (v > -max_s) & (v < H + max_s)
         order = np.argsort(-z)  # far first, near overwrites (painter)
         for p in order:
             if not vis[p]:
                 continue
-            # sub-pixel placement via bilinear split of the sprite corner
+            sp = sprites[p]
+            sz = sp.shape[0]
+            half = sz // 2
             u0 = u[p] - half
             v0 = v[p] - half
             iu, iv = int(np.floor(u0)), int(np.floor(v0))
             au, av = u0 - iu, v0 - iv
-            # shift sprite by (au, av) with bilinear resample
-            s = sprites[p]
-            s_shift = (
-                s * (1 - au) * (1 - av)
-            )
-            s_pad = np.pad(s, 1)
+            s_pad = np.pad(sp, 1)
             s_shift = (
                 s_pad[1:-1, 1:-1] * (1 - au) * (1 - av)
                 + s_pad[1:-1, 0:-2] * au * (1 - av)
                 + s_pad[0:-2, 1:-1] * (1 - au) * av
                 + s_pad[0:-2, 0:-2] * au * av
             )
-            y0, y1 = max(0, iv), min(H, iv + sprite)
-            x0, x1 = max(0, iu), min(W, iu + sprite)
+            y0, y1 = max(0, iv), min(H, iv + sz)
+            x0, x1 = max(0, iu), min(W, iu + sz)
             if y1 <= y0 or x1 <= x0:
                 continue
             img[y0:y1, x0:x1] = s_shift[y0 - iv : y1 - iv, x0 - iu : x1 - iu]
@@ -182,7 +203,7 @@ def make_sequence(
 
     def center_at(t):
         if motion == "arc":
-            return np.array([speed * t, 0.15 * np.sin(0.7 * t), 0.1 * np.sin(0.5 * t)])
+            return np.array([speed * t, 0.15 * np.sin(0.7 * t), z_amp * np.sin(0.5 * t)])
         return np.array([0.0, 0.0, speed * t])
 
     def yaw_at(t):

@@ -1,0 +1,158 @@
+"""Loop closing: detect -> Sim3 -> correct (the LoopClosing thread).
+
+TPU-native equivalent of the reference LoopClosing
+(reference: src/LoopClosing.cc — DetectLoop :119, ComputeSim3 :364,
+CorrectLoop :539). Gated behind the LoopC flag exactly like the
+reference (default OFF in the harbor config, yaml:90).
+
+The reference's polling thread becomes a functional `close_loop(map, kf)`
+pass invoked after keyframe insertion:
+
+  1. candidates from BoW scores (gated by the min covisible score) and
+     haloc hash distance, deduplicated — one dense pass over the KF table;
+  2. 3D-3D correspondence from descriptor matching between the query and
+     candidate keyframes' landmarks, Horn Sim3 RANSAC + inlier gate
+     (reference requires >= 20 inliers after OptimizeSim3);
+  3. correction: essential-graph optimization over all keyframes with
+     odometry edges (consecutive + covisibility) plus the loop edge,
+     then the landmark re-expression sweep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.lie import mm, mv
+from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose
+from uvipslam_tpu.loop import haloc
+from uvipslam_tpu.loop.reloc import _codebook
+from uvipslam_tpu.loop.vocab import bow_vector, l1_score
+from uvipslam_tpu.mapstate.map import MapState
+from uvipslam_tpu.ops import hamming
+from uvipslam_tpu.ops.sim3solver import sim3_ransac
+from uvipslam_tpu.solver.essential_graph import (
+    correct_points_after_pose_graph,
+    optimize_essential_graph,
+)
+
+
+def detect_loop_candidates(m: MapState, query_kf: int, min_gap: int = 10,
+                           top_k: int = 3):
+    """BoW + haloc candidate retrieval for `query_kf`, excluding the
+    recent window (reference: DetectLoop's covisible exclusion).
+    Returns (idx [top_k], ok [top_k]) — host-friendly numpy."""
+    cb = _codebook()
+    idf = jnp.ones((cb.shape[0],), jnp.float32)
+    kf_bows = jax.vmap(lambda d, v: bow_vector(d, v, cb, idf))(
+        m.kf_feat_desc, m.kf_feat_valid
+    )
+    v_q = kf_bows[query_kf]
+    scores = l1_score(v_q, kf_bows)
+
+    kf_ids = jnp.arange(m.kf_cap)
+    exclude = (kf_ids > query_kf - min_gap) | ~m.kf_valid
+    s = jnp.where(exclude, -1.0, scores)
+    bow_val, bow_idx = jax.lax.top_k(s, top_k)
+
+    # haloc ranking as the second channel (reference: getCandidates_haloc)
+    kf_hashes = jax.vmap(lambda d, v: haloc.compute_hash(d, v))(
+        m.kf_feat_desc, m.kf_feat_valid
+    )
+    h_idx, h_dist, h_ok = haloc.detect_candidates_haloc(
+        kf_hashes[query_kf], kf_hashes, m.kf_valid, exclude, top_k=top_k,
+    )
+
+    idx = np.unique(np.concatenate([np.asarray(bow_idx), np.asarray(h_idx)]))
+    ok = np.asarray(s)[idx] > 0
+    return idx[ok], np.asarray(bow_val)
+
+
+def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
+                      fx, fy, cx, cy, min_inliers: int = 20):
+    """Match landmarks between two keyframes and solve the relative Sim3
+    (reference: ComputeSim3 — SearchByBoW + Sim3Solver RANSAC +
+    OptimizeSim3 with >= 20 inlier acceptance).
+    Returns (ok, s, R, t) with (s, R, t) mapping kf_b-camera coords to
+    kf_a-camera coords."""
+    da, va = m.kf_feat_desc[kf_a], m.kf_feat_valid[kf_a] & (m.kf_feat_pt[kf_a] >= 0)
+    db, vb = m.kf_feat_desc[kf_b], m.kf_feat_valid[kf_b] & (m.kf_feat_pt[kf_b] >= 0)
+    idx, dist, ok = hamming.match_best(da, db, va, vb,
+                                       max_dist=hamming.TH_HIGH, ratio=0.9)
+    idx_b, _, ok_b = hamming.match_best(db, da, vb, va,
+                                        max_dist=hamming.TH_HIGH, ratio=0.9)
+    ok = hamming.mutual_filter(idx, ok, idx_b, ok_b)
+
+    pid_a = m.kf_feat_pt[kf_a]
+    pid_b = m.kf_feat_pt[kf_b][jnp.clip(idx, 0, m.n_feat - 1)]
+    good = ok & (pid_a >= 0) & (pid_b >= 0)
+
+    # landmark positions in each keyframe's CAMERA frame
+    ns_a = jax.tree_util.tree_map(lambda x: x[kf_a], m.kf_ns)
+    ns_b = jax.tree_util.tree_map(lambda x: x[kf_b], m.kf_ns)
+    Ra, ta = _ns_to_cam_pose(ns_a)
+    Rb, tb = _ns_to_cam_pose(ns_b)
+    Xa = mv(Ra, m.pt_xyz[jnp.clip(pid_a, 0, m.pt_cap - 1)]) + ta
+    Xb = mv(Rb, m.pt_xyz[jnp.clip(pid_b, 0, m.pt_cap - 1)]) + tb
+
+    s, R, t, inl, n_in = sim3_ransac(key, Xb, Xa, good, fx, fy, cx, cy)
+    return int(n_in) >= min_inliers, s, R, t, int(n_in)
+
+
+def close_loop(m: MapState, query_kf: int, loop_kf: int,
+               s_rel, R_rel, t_rel, n_iters: int = 20) -> MapState:
+    """Apply a verified loop: essential-graph optimization + landmark
+    correction (reference: CorrectLoop + OptimizeEssentialGraph).
+
+    The pose graph state is each KF's world->camera Sim3 (scale 1);
+    odometry edges link consecutive KFs with their current relative
+    transforms; the loop edge carries the measured Sim3.
+    """
+    K = m.kf_cap
+    kf_R, kf_t = jax.vmap(lambda i: _ns_to_cam_pose(
+        jax.tree_util.tree_map(lambda x: x[i], m.kf_ns)))(jnp.arange(K))
+    kf_s = jnp.ones((K,), jnp.float32)
+
+    # odometry edges: S_m = S_j S_i^-1 from current estimates
+    e_i = jnp.arange(K, dtype=jnp.int32)
+    e_j = jnp.clip(e_i - 1, 0, K - 1)      # edge (k, k-1)
+    S_i = (kf_s[e_i], kf_R[e_i], kf_t[e_i])
+    S_j = (kf_s[e_j], kf_R[e_j], kf_t[e_j])
+    Sm = lie.sim3_compose(*S_j, *lie.sim3_inverse(*S_i))
+    e_mask = m.kf_valid & (e_i > 0) & m.kf_valid[e_j]
+
+    # append the loop edge: the measured Sim3 maps loop-KF camera coords
+    # into query-KF camera coords, i.e. S_query = S_rel S_loop; the factor
+    # convention r = log(S_m S_i S_j^-1) = 0 with S_m = S_j S_i^-1 makes
+    # that edge (i=loop, j=query) with measurement S_rel
+    e_i = jnp.concatenate([e_i, jnp.asarray([loop_kf], jnp.int32)])
+    e_j = jnp.concatenate([e_j, jnp.asarray([query_kf], jnp.int32)])
+    m_s = jnp.concatenate([Sm[0], jnp.asarray([s_rel], jnp.float32)])
+    m_R = jnp.concatenate([Sm[1], R_rel[None]])
+    m_t = jnp.concatenate([Sm[2], t_rel[None]])
+    e_mask = jnp.concatenate([e_mask, jnp.asarray([True])])
+
+    fixed = jnp.zeros((K,), bool).at[loop_kf].set(True)
+    s2, R2, t2 = optimize_essential_graph(
+        kf_s, kf_R, kf_t, m.kf_valid, fixed,
+        e_i, e_j, m_s, m_R, m_t, e_mask, n_iters=n_iters,
+    )
+
+    pts2 = correct_points_after_pose_graph(
+        m.pt_xyz, m.pt_ref_kf, kf_s, kf_R, kf_t, s2, R2, t2, m.pt_valid,
+    )
+
+    # write corrected camera poses back as NavStates (scale folds into t)
+    def to_ns(s, R, t, ns_old):
+        Rcw = R
+        tcw = t / jnp.maximum(s, 1e-9)
+        Rwc = jnp.swapaxes(Rcw, -1, -2)
+        C = -mv(Rwc, tcw)
+        return dataclasses.replace(ns_old, p=C, R=Rwc)
+
+    kf_ns2 = jax.vmap(to_ns)(s2, R2, t2, m.kf_ns)
+    return dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2)

@@ -48,6 +48,12 @@ class MapState:
     kf_depth: jax.Array        # [K] pressure depth measurement
     kf_depth_valid: jax.Array  # [K] bool
     kf_preint: PreintState     # [K] preintegration from kf_prev to this KF
+    # raw IMU window since kf_prev (for re-integration after bias updates,
+    # like KeyFrame::ComputePreInt; reference: src/KeyFrame.cc:218-293)
+    kf_imu_omg: jax.Array      # [K, S, 3]
+    kf_imu_acc: jax.Array      # [K, S, 3]
+    kf_imu_dt: jax.Array       # [K, S]
+    kf_imu_mask: jax.Array     # [K, S]
     # per-KF feature block
     kf_feat_xy: jax.Array      # [K, F, 2] undistorted pixel coords
     kf_feat_desc: jax.Array    # [K, F, 256] i8
@@ -84,10 +90,15 @@ class MapState:
     def n_feat(self) -> int:
         return self.kf_feat_valid.shape[1]
 
+    @property
+    def imu_cap(self) -> int:
+        return self.kf_imu_dt.shape[1]
+
     @staticmethod
     def empty(kf_cap: int = 256, pt_cap: int = 16384, n_feat: int = 400,
-              imu_window: int = 512, dtype=jnp.float32) -> "MapState":
+              imu_window: int = 256, dtype=jnp.float32) -> "MapState":
         K, P, F = kf_cap, pt_cap, n_feat
+        S = imu_window
         return MapState(
             kf_ns=NavState.identity((K,), dtype),
             kf_time=jnp.zeros((K,), dtype),
@@ -97,6 +108,10 @@ class MapState:
             kf_depth=jnp.zeros((K,), dtype),
             kf_depth_valid=jnp.zeros((K,), bool),
             kf_preint=PreintState.zero((K,), dtype),
+            kf_imu_omg=jnp.zeros((K, S, 3), dtype),
+            kf_imu_acc=jnp.zeros((K, S, 3), dtype),
+            kf_imu_dt=jnp.zeros((K, S), dtype),
+            kf_imu_mask=jnp.zeros((K, S), dtype),
             kf_feat_xy=jnp.zeros((K, F, 2), dtype),
             kf_feat_desc=jnp.zeros((K, F, N_BITS), jnp.int8),
             kf_feat_level=jnp.zeros((K, F), jnp.int32),
@@ -136,6 +151,10 @@ class MapState:
         depth_valid: jax.Array,
         preint: PreintState,
         prev_kf: jax.Array,
+        imu_omg: jax.Array | None = None,   # [S, 3]
+        imu_acc: jax.Array | None = None,
+        imu_dt: jax.Array | None = None,
+        imu_mask: jax.Array | None = None,
     ) -> tuple["MapState", jax.Array]:
         """Functionally insert a keyframe at the next slot; returns
         (new_map, kf_slot). Equivalent to the KeyFrame ctor +
@@ -162,6 +181,26 @@ class MapState:
             kf_feat_angle=m.kf_feat_angle.at[k].set(feat_angle),
             kf_feat_valid=m.kf_feat_valid.at[k].set(feat_valid),
             kf_feat_pt=m.kf_feat_pt.at[k].set(jnp.where(feat_valid, feat_pt, -1)),
+            # refresh observed landmarks' descriptors to this newest
+            # observation (the reference maintains a distinctive descriptor
+            # over observations, MapPoint::ComputeDistinctiveDescriptors —
+            # the newest-observation approximation keeps projection
+            # matching viable as appearance evolves)
+            pt_desc=m.pt_desc.at[
+                jnp.where(feat_valid & (feat_pt >= 0), feat_pt, self.pt_cap - 1)
+            ].set(
+                jnp.where((feat_valid & (feat_pt >= 0))[:, None], feat_desc,
+                          m.pt_desc[jnp.where(feat_valid & (feat_pt >= 0),
+                                              feat_pt, self.pt_cap - 1)])
+            ),
+            kf_imu_omg=(m.kf_imu_omg if imu_omg is None
+                        else m.kf_imu_omg.at[k].set(imu_omg)),
+            kf_imu_acc=(m.kf_imu_acc if imu_acc is None
+                        else m.kf_imu_acc.at[k].set(imu_acc)),
+            kf_imu_dt=(m.kf_imu_dt if imu_dt is None
+                       else m.kf_imu_dt.at[k].set(imu_dt)),
+            kf_imu_mask=(m.kf_imu_mask if imu_mask is None
+                         else m.kf_imu_mask.at[k].set(imu_mask)),
             n_kf=k + 1,
         )
         return new, k

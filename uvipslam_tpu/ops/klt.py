@@ -129,6 +129,141 @@ def klt_track(
     return pts_next, ok
 
 
+def global_shift(img_a: jax.Array, img_b: jax.Array, radius: int = 8):
+    """Estimate the dominant integer translation a->b on small images by
+    brute-force SSD over (2r+1)^2 shifts (one fused VPU pass; replaces
+    the capture-range role of the multi-level KLT pyramid for the
+    translation-dominant inter-frame motion of video).
+
+    Returns (dx, dy) such that b(x) ~= a(x - d) => features move by +d."""
+    H, W = img_a.shape
+    r = radius
+    a = img_a[r:H - r, r:W - r]
+    best = None
+    costs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            b = img_b[r + dy:H - r + dy, r + dx:W - r + dx]
+            d = a - b
+            costs.append(jnp.mean(d * d))
+    costs = jnp.stack(costs)
+    k = jnp.argmin(costs)
+    n = 2 * r + 1
+    dy = k // n - r
+    dx = k % n - r
+    return jnp.stack([dx, dy]).astype(img_a.dtype)
+
+
+def _interp_operator(off: jax.Array, size_out: int, size_in: int) -> jax.Array:
+    """[N] fractional start offsets -> [N, size_out, size_in] separable
+    bilinear sampling operators (hat-function rows: each output position
+    j reads input coordinate off + j with linear weights). Built from
+    iota comparisons — NO gathers; applying it is a small matmul."""
+    j = jnp.arange(size_out, dtype=off.dtype)[None, :, None]
+    k = jnp.arange(size_in, dtype=off.dtype)[None, None, :]
+    x = off[:, None, None] + j
+    return jnp.clip(1.0 - jnp.abs(x - k), 0.0, 1.0)
+
+
+def _extract_patches(img: jax.Array, pts: jax.Array, psize: int):
+    """Per-feature [psize, psize] patches whose top-left integer corner is
+    floor(pts) - psize//2, via two chained dynamic-slices (row block then
+    column block) — coalesced vector loads instead of scalar gathers.
+    Returns (patches [N, P, P], local [N, 2] fractional feature position
+    inside the patch)."""
+    H, W = img.shape
+    half = psize // 2
+    x0 = jnp.clip(jnp.floor(pts[:, 0]).astype(jnp.int32) - half, 0, W - psize)
+    y0 = jnp.clip(jnp.floor(pts[:, 1]).astype(jnp.int32) - half, 0, H - psize)
+
+    rows = jax.vmap(lambda y: jax.lax.dynamic_slice_in_dim(img, y, psize, 0))(y0)
+    patches = jax.vmap(
+        lambda r, x: jax.lax.dynamic_slice_in_dim(r, x, psize, 1)
+    )(rows, x0)
+    local = pts - jnp.stack([x0, y0], -1).astype(pts.dtype)
+    return patches, local
+
+
+def _sample_patch(patches: jax.Array, center: jax.Array, win: int) -> jax.Array:
+    """Bilinear-sample a [win, win] window centered at fractional `center`
+    [N, 2] (patch coords) from [N, P, P] patches — two interpolation
+    matmuls, zero gathers. Returns [N, win, win]."""
+    P = patches.shape[-1]
+    r = win // 2
+    Wy = _interp_operator(center[:, 1] - r, win, P)   # [N, win, P]
+    Wx = _interp_operator(center[:, 0] - r, win, P)
+    tmp = jnp.einsum("nip,npq->niq", Wy, patches)
+    return jnp.einsum("niq,njq->nij", tmp, Wx)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "max_correction"))
+def anchor_refine_fast(
+    img: jax.Array,
+    T: jax.Array,            # [N, win*win] templates
+    Tx: jax.Array,           # [N, win*win]
+    Ty: jax.Array,           # [N, win*win]
+    pts: jax.Array,          # [N, 2] start positions
+    valid: jax.Array,
+    win: int = 13,
+    iters: int = 8,
+    max_correction: float = 4.0,
+    max_residual: float = 32.0,
+):
+    """Gather-free drop-in for `anchor_refine`: one coalesced patch
+    extraction per track, then fixed GN iterations whose bilinear
+    sampling is expressed as separable interpolation matmuls (MXU/VPU
+    work; TPU scalar gathers are ~100x slower than this)."""
+    dtype = pts.dtype
+    N = pts.shape[0]
+    margin = int(max_correction) + 2
+    psize = win + 2 * margin
+
+    patches, local = _extract_patches(img, pts, psize)
+
+    Gxx = jnp.sum(Tx * Tx, axis=1)
+    Gxy = jnp.sum(Tx * Ty, axis=1)
+    Gyy = jnp.sum(Ty * Ty, axis=1)
+    det = Gxx * Gyy - Gxy * Gxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    good_G = det > 1e-9
+
+    lo = jnp.asarray(win // 2, dtype)
+    hi = jnp.asarray(psize - win // 2 - 2, dtype)
+
+    def body(_, p):
+        I = _sample_patch(patches, p, win).reshape(N, -1)
+        err = I - T
+        bx = jnp.sum(err * Tx, axis=1)
+        by = jnp.sum(err * Ty, axis=1)
+        dx = -(Gyy * bx - Gxy * by) / safe_det
+        dy = -(-Gxy * bx + Gxx * by) / safe_det
+        step = jnp.clip(jnp.stack([dx, dy], axis=-1), -3.0, 3.0)
+        p2 = p + jnp.where(good_G[:, None], step, 0.0)
+        return jnp.clip(p2, lo, hi)
+
+    p = jax.lax.fori_loop(0, iters, body, local)
+    resid = jnp.sum(jnp.abs(_sample_patch(patches, p, win).reshape(N, -1) - T), axis=1) / (win * win)
+    corr = jnp.linalg.norm(p - local, axis=-1)
+    accept = valid & good_G & (corr <= max_correction) & (resid < max_residual)
+    out_pts = pts + (p - local)
+    out = jnp.where(accept[:, None], out_pts, pts)
+    return out, accept
+
+
+def extract_templates_fast(img: jax.Array, pts: jax.Array, win: int = 13):
+    """Gather-free template + gradient extraction (pairs with
+    anchor_refine_fast): patch pull + interpolation-matmul sampling of a
+    (win+2) window, central differences for the gradients."""
+    N = pts.shape[0]
+    psize = win + 6
+    patches, local = _extract_patches(img, pts, psize)
+    big = _sample_patch(patches, local, win + 2)       # [N, win+2, win+2]
+    T = big[:, 1:-1, 1:-1]
+    Tx = 0.5 * (big[:, 1:-1, 2:] - big[:, 1:-1, :-2])
+    Ty = 0.5 * (big[:, 2:, 1:-1] - big[:, :-2, 1:-1])
+    return (T.reshape(N, -1), Tx.reshape(N, -1), Ty.reshape(N, -1))
+
+
 def extract_templates(img: jax.Array, pts: jax.Array, win: int = 21):
     """Gather per-feature template patches + gradients for anchor
     refinement. Returns (T [N, P], Tx [N, P], Ty [N, P])."""

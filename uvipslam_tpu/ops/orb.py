@@ -113,6 +113,42 @@ def build_pyramid(img: jax.Array, n_levels: int, scale: float) -> list[jax.Array
     return pyr
 
 
+def orient_and_describe_fast(img_blur: jax.Array, xy: jax.Array,
+                             valid: jax.Array):
+    """Gather-free IC orientation + UNSTEERED BRIEF in one pass: one
+    coalesced patch extraction per keypoint (dynamic-slice row/column
+    blocks), one separable bilinear sampling matmul for the centered
+    31x31 window, then static-index comparisons for the pattern bits and
+    masked moment sums for the angle. ~100x fewer scalar gathers than the
+    vmapped fancy-indexing path (TPU gathers are the bottleneck).
+    Steered descriptors need per-keypoint rotated sampling and keep the
+    gather path (`brief_descriptors`)."""
+    from uvipslam_tpu.ops.klt import _extract_patches, _sample_patch
+
+    N = xy.shape[0]
+    W = 2 * PATCH_R + 1
+    patches, local = _extract_patches(img_blur, xy, W + 4)
+    win = _sample_patch(patches, local, W)            # [N, 31, 31]
+    flat = win.reshape(N, W * W)
+
+    # orientation: masked intensity moments
+    ox = jnp.asarray(_OX, img_blur.dtype).reshape(-1)
+    oy = jnp.asarray(_OY, img_blur.dtype).reshape(-1)
+    msk = jnp.asarray(_OMASK, img_blur.dtype).reshape(-1)
+    m10 = jnp.einsum("np,p->n", flat, ox * msk)
+    m01 = jnp.einsum("np,p->n", flat, oy * msk)
+    ang = jnp.where(valid, jnp.arctan2(m01, m10), 0.0)
+
+    # unsteered BRIEF: static pattern indices into the window
+    pat = BRIEF_PATTERN
+    i1 = (pat[:, 1] + PATCH_R) * W + (pat[:, 0] + PATCH_R)
+    i2 = (pat[:, 3] + PATCH_R) * W + (pat[:, 2] + PATCH_R)
+    v1 = flat[:, jnp.asarray(i1)]
+    v2 = flat[:, jnp.asarray(i2)]
+    desc = jnp.where(valid[:, None], (v1 < v2).astype(jnp.int8), 0)
+    return ang, desc
+
+
 def ic_angles(img: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array:
     """Intensity-centroid orientation per keypoint
     (reference: src/ORBextractor.cc:80-154 IC_Angle)."""
@@ -167,7 +203,7 @@ def brief_descriptors(
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale", "fast_threshold",
-                     "fast_threshold_min", "cell", "px_distance"),
+                     "fast_threshold_min", "cell", "px_distance", "steer"),
 )
 def extract_orb(
     img: jax.Array,
@@ -180,8 +216,15 @@ def extract_orb(
     fast_threshold_min: float = 5.0,
     cell: int = 20,
     px_distance: int = 20,
+    steer: bool = True,
 ) -> Features:
     """Full ORB extraction for one frame.
+
+    `steer=False` disables BRIEF steering (angle still reported): on
+    content with weak intensity asymmetry (e.g. random texture) the IC
+    centroid magnitude is small and the angle is noise-dominated, which
+    costs ~30 descriptor bits of repeatability; real imagery with camera
+    roll should keep steering on (reference behavior).
 
     `occupied_xy`/`occupied_mask`: already-tracked feature positions
     (level-0 coords) to suppress, as in the reference's KLT-aware
@@ -211,9 +254,15 @@ def extract_orb(
         cell_l = max(8, int(round(cell / math.sqrt(s))))
         xy_l, score_l, valid_l = fast_ops.grid_topk(resp, cell_l, quota)
 
-        ang_l = ic_angles(im_l, xy_l, valid_l)
+        # orientation on the blurred image: the raw-texture intensity
+        # centroid is unstable under sub-pixel shifts (degrees of angle
+        # noise -> tens of descriptor bits); the blur stabilizes it
         blur_l = gaussian_blur(im_l, 7, 2.0)
-        desc_l = brief_descriptors(blur_l, xy_l, ang_l, valid_l)
+        if steer:
+            ang_l = ic_angles(blur_l, xy_l, valid_l)
+            desc_l = brief_descriptors(blur_l, xy_l, ang_l, valid_l)
+        else:
+            ang_l, desc_l = orient_and_describe_fast(blur_l, xy_l, valid_l)
 
         parts.append(
             Features(

@@ -44,7 +44,9 @@ def estimate_gyro_bias(
     """Gauss-Newton for the 3-dof gyro bias over all consecutive KF pairs
     (reference: Optimizer::OptimizeInitialGyroBias, EdgeGyrBias)."""
     R_i = jnp.roll(kf_R_wb, 1, axis=0)  # previous KF rotation per slot
-    w = pair_mask.astype(kf_R_wb.dtype)
+    # zero-dt preints (e.g. the two bootstrap KFs) carry no information
+    w = (pair_mask & (jnp.abs(jnp.trace(pre_dR, axis1=-2, axis2=-1) - 3.0) +
+                      jnp.sum(jnp.abs(pre_J_R_bg), (-2, -1)) > 1e-9)).astype(kf_R_wb.dtype)
 
     def body(bg, _):
         r, J = gyro_bias_edge(R_i, kf_R_wb, pre_dR, pre_J_R_bg, bg)
@@ -206,5 +208,5 @@ def velocities_from_positions(
     dP = jnp.roll(pre_dP, -1, 0)
     R_i = kf_R_wb
     v = (p_j - kf_p_wb - 0.5 * gravity_w * dt * dt - mv(R_i, dP)) / jnp.maximum(dt, 1e-6)
-    nxt_ok = jnp.roll(pair_mask, -1, 0)
+    nxt_ok = jnp.roll(pair_mask, -1, 0) & (dt[:, 0] > 1e-6)
     return jnp.where(nxt_ok[:, None], v, 0.0)
