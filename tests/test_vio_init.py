@@ -12,7 +12,7 @@ from uvipslam_tpu.vio import init as vio
 
 
 def simulate_kfs(K=12, dt_kf=0.5, imu_hz=200, bg=(0.004, -0.006, 0.003),
-                 seed=0, g_w=(0.0, 0.0, -9.81)):
+                 ba=(0.0, 0.0, 0.0), seed=0, g_w=(0.0, 0.0, -9.81)):
     """Body on a smooth 3D trajectory; returns KF rotations/positions and
     per-KF preintegrations computed with ZERO assumed bias (so the true
     bias is recoverable)."""
@@ -42,7 +42,7 @@ def simulate_kfs(K=12, dt_kf=0.5, imu_hz=200, bg=(0.004, -0.006, 0.003),
         a_w = (pos(t + dt) - 2 * pos(t) + pos(t - dt)) / dt**2
         f_body = R.T @ (a_w - g_w)
         omgs.append(w_body + bg)
-        accs.append(f_body)
+        accs.append(f_body + np.asarray(ba))
         p = p + v * dt + 0.5 * a_w * dt * dt
         v = v + a_w * dt
         R = R @ np.asarray(lie.so3_exp(jnp.asarray(w_body * dt, jnp.float64)))
@@ -152,3 +152,35 @@ class TestVelocities:
             jnp.asarray(sim["g_w"]), jnp.ones(K, bool),
         )
         np.testing.assert_allclose(np.asarray(v)[:-1], sim["kf_v"][:-2], atol=5e-3)
+
+
+class TestRefineScaleGravityBa:
+    def test_recovers_scale_gravity_and_accbias(self):
+        """The 6x1 |g|-constrained refine (reference: LocalMapping.cc:262-379)
+        recovers scale, gravity direction and accelerometer bias."""
+        true_ba = (0.06, -0.04, 0.08)
+        sim = simulate_kfs(bg=(0, 0, 0), ba=true_ba)
+        K = 12
+        true_scale = 4.2
+        pcb = jnp.asarray([0.02, -0.05, 0.1], jnp.float64)
+        kf_R = jnp.asarray(sim["kf_R"])
+        kf_p = jnp.asarray(sim["kf_p"])
+        c = (kf_p - jax.vmap(lambda R: R @ pcb)(kf_R)) / true_scale
+        z13 = jnp.zeros((1, 3), jnp.float64)
+        z133 = jnp.zeros((1, 3, 3), jnp.float64)
+        dP = jnp.concatenate([z13, sim["pre"].dP])
+        dV = jnp.concatenate([z13, sim["pre"].dV])
+        dt = jnp.concatenate([jnp.zeros((1,), jnp.float64), sim["pre"].dt])
+        JPba = jnp.concatenate([z133, sim["pre"].J_P_ba])
+        JVba = jnp.concatenate([z133, sim["pre"].J_V_ba])
+        mask = jnp.asarray([False, False] + [True] * (K - 1))
+
+        # seed gravity from the unconstrained 4x1 solve (slightly off)
+        s0, g0 = vio.estimate_scale_gravity_linear(c, kf_R, dP, dV, dt, pcb, mask)
+        s, g_est, ba = vio.refine_scale_gravity_accbias(
+            c, kf_R, dP, dV, dt, JPba, JVba, g0, pcb, mask,
+        )
+        np.testing.assert_allclose(float(s), true_scale, rtol=0.02)
+        np.testing.assert_allclose(np.asarray(g_est), sim["g_w"], atol=0.1)
+        np.testing.assert_allclose(np.asarray(ba), true_ba, atol=0.02)
+        assert abs(float(jnp.linalg.norm(g_est)) - 9.810) < 1e-6

@@ -71,3 +71,123 @@ def test_vip_end_to_end_metric():
     # gyro bias estimated with the right sign and order of magnitude
     bg = np.asarray(tr.map.kf_ns.bg[0])
     assert abs(bg[2] - 0.003) < 0.005
+
+
+@pytest.mark.slow
+def test_vi_mode_init_linear():
+    """Init_mode 1: pure VI — scale+gravity from the linear SVD solve,
+    NO pressure channel fed at all (reference: LocalMapping.cc:182-379)."""
+    seq = make_sequence(
+        n_frames=110, H=240, W=320, n_points=4000, seed=5, speed=1.2,
+        motion="excited",
+        gyr_noise=0.003, acc_noise=0.03,
+        gyr_bias=(0.004, -0.006, 0.003), acc_bias=(0.0, 0.0, 0.0),
+        z_amp=0.6,
+    )
+    cam = CameraModel.create(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2],
+        width=320, height=240,
+    )
+    cfg = VipConfig(
+        n_tracks=200, min_init_tracks=60, local_window=6,
+        gyr_noise_sd=0.01, acc_noise_sd=0.1,
+        vio_init_min_kfs=10, vio_init_min_time=3.0,
+        init_mode=1,
+    )
+    tr = VipTracker(cam, cfg, kf_cap=64, pt_cap=8192)
+    init_f = None
+    states = []
+    for f in range(110):
+        st = tr.process_frame_vip(
+            seq.images[f], seq.imu_omg[f], seq.imu_acc[f],
+            seq.imu_dt[f], seq.imu_mask[f],
+            depth=0.0, depth_valid=False,
+            timestamp=seq.timestamps[f],
+        )
+        states.append(st.get("state"))
+        if tr.vio_ok and init_f is None:
+            init_f = f
+
+    assert init_f is not None, "VI init never triggered"
+    assert states[-1] == "WORKING", states[-10:]
+
+    est = tr.trajectory_positions()
+    ids = [i for i, _, _ in tr.trajectory]
+    gt = seq.positions_w[ids]
+    sel = [n for n, i in enumerate(ids) if i >= init_f + 5]
+    # metric scale must come from the VI linear solve alone: no-scale-
+    # alignment ATE bounded vs the trajectory span (looser than VIP —
+    # accelerometer excitation is the only scale source)
+    rmse_metric, _ = ate_rmse(est[sel], gt[sel], align_scale=False)
+    span = np.linalg.norm(gt[sel][-1] - gt[sel][0])
+    assert rmse_metric < 0.35 * span, (rmse_metric, span)
+    # and the aligned shape should still be reasonable (VI-estimated
+    # gravity tilts the world a few degrees; pressure mode does better)
+    rmse_shape, _ = ate_rmse(est[sel], gt[sel])
+    assert rmse_shape < 0.12 * span, (rmse_shape, span)
+    # metric scale from the VI solve alone: path-length ratio near 1
+    d_est = np.linalg.norm(np.diff(est[sel], axis=0), axis=1).sum()
+    d_gt = np.linalg.norm(np.diff(gt[sel], axis=0), axis=1).sum()
+    assert 0.75 < d_est / d_gt < 1.35, d_est / d_gt
+
+
+@pytest.mark.slow
+def test_vip_recovery_after_blackout():
+    """Sustained visual failure in VIP mode: IMU dead-reckoning with
+    pressure-z override + fresh recovery sub-map anchored at the IMU pose
+    (reference: IMU_RELOCALIZATION tier, Tracking.cc:594-613,1529-1834)."""
+    seq = make_sequence(
+        n_frames=140, H=240, W=320, n_points=4000, seed=3, speed=1.2,
+        gyr_noise=0.003, acc_noise=0.03,
+        gyr_bias=(0.002, -0.003, 0.002), acc_bias=(0.0, 0.0, 0.0),
+        depth_noise=0.02, z_amp=0.5,
+    )
+    cam = CameraModel.create(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2],
+        width=320, height=240,
+    )
+    cfg = VipConfig(
+        n_tracks=200, min_init_tracks=60, local_window=6,
+        gyr_noise_sd=0.01, acc_noise_sd=0.1, depth_noise_sd=0.05,
+        vio_init_min_kfs=8, vio_init_min_time=2.5,
+        recovery_min_frames=2, recovery_min_baseline=0.03,
+    )
+    tr = VipTracker(cam, cfg, kf_cap=64, pt_cap=8192)
+    black = np.zeros_like(seq.images[0])
+    init_f = None
+    saw_reloc = False
+    recovered_f = None
+    states = []
+    for f in range(140):
+        img = black if 90 <= f < 96 else seq.images[f]
+        st = tr.process_frame_vip(
+            img, seq.imu_omg[f], seq.imu_acc[f],
+            seq.imu_dt[f], seq.imu_mask[f],
+            depth=seq.depth[f], depth_valid=bool(seq.depth_valid[f]),
+            timestamp=seq.timestamps[f],
+        )
+        states.append(st.get("state"))
+        if tr.vio_ok and init_f is None:
+            init_f = f
+        if st.get("state") == "IMU_RELOC":
+            saw_reloc = True
+        if saw_reloc and recovered_f is None and st.get("recovery") == "re-initialized":
+            recovered_f = f
+
+    assert init_f is not None and init_f < 90, init_f
+    assert saw_reloc, states[85:100]
+    assert recovered_f is not None, states[90:]
+    assert states[-1] == "WORKING", states[-10:]
+
+    # post-recovery trajectory is metric and continuous with ground truth
+    est = tr.trajectory_positions()
+    ids = [i for i, _, _ in tr.trajectory]
+    gt = seq.positions_w[ids]
+    sel = [n for n, i in enumerate(ids) if i >= recovered_f + 3]
+    assert len(sel) > 10
+    rmse_metric, _ = ate_rmse(est[sel], gt[sel], align_scale=False)
+    span = np.linalg.norm(gt[sel][-1] - gt[sel][0])
+    assert rmse_metric < 0.25 * max(span, 0.5), (rmse_metric, span)
+    # z still locked by pressure through the recovery
+    z_err = np.abs(est[sel][:, 2] - gt[sel][:, 2])
+    assert np.median(z_err) < 0.15, np.median(z_err)

@@ -37,7 +37,13 @@ def main(argv=None):
     from uvipslam_tpu.io.trajectory import save_tum_trajectory
     from uvipslam_tpu.models.camera import FISHEYE, RADTAN, CameraModel
 
-    s = load_settings(args.settings) if args.settings else Settings()
+    if args.settings:
+        import os
+        if not os.path.exists(args.settings):
+            ap.error(f"settings file not found: {args.settings}")
+        s = load_settings(args.settings)
+    else:
+        s = Settings()
     if args.mode is not None:
         s.mode = args.mode
 
@@ -69,7 +75,8 @@ def main(argv=None):
         imu_cfg = dict(gyr_noise_sd=s.gyr_noise, acc_noise_sd=s.acc_noise,
                        gyr_bias_rw2=s.gyr_rw**2, acc_bias_rw2=s.acc_rw**2,
                        depth_noise_sd=s.depth_noise,
-                       vio_init_min_time=s.init_time)
+                       vio_init_min_time=s.init_time,
+                       init_mode=s.init_mode)
 
     n_frames = len(bundles["timestamps"])
     t0 = time.time()

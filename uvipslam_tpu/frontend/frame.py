@@ -157,7 +157,8 @@ def refresh_descriptors(tracks: Tracks, img: jax.Array, steer: bool = False) -> 
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_features", "px_distance", "steer"))
+@functools.partial(jax.jit, static_argnames=("n_features", "px_distance",
+                                              "steer", "score_type"))
 def refill_tracks(
     tracks: Tracks,
     img: jax.Array,
@@ -165,6 +166,7 @@ def refill_tracks(
     n_features: int = 400,
     px_distance: int = 20,
     steer: bool = False,
+    score_type: int = 0,
 ) -> Tracks:
     """Detect new ORB features away from live tracks and place them into
     dead slots (reference: perform_detection_monocular,
@@ -172,6 +174,7 @@ def refill_tracks(
     feats = extract_orb(
         img, tracks.xy, tracks.valid,
         n_features=n_features, px_distance=px_distance, steer=steer,
+        score_type=score_type,
     )
     # order new detections by score (desc), dead slots in slot order
     det_order = jnp.argsort(-jnp.where(feats.valid, feats.score, -jnp.inf), stable=True)

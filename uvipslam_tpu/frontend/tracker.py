@@ -45,6 +45,7 @@ NOT_INITIALIZED = 0
 INITIALIZING = 1
 WORKING = 2
 LOST = 3
+IMU_RELOC = 4   # VIP sustained-failure recovery (reference: Tracking.h:85-94)
 
 
 @dataclasses.dataclass
@@ -634,14 +635,15 @@ def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
     feat_level_w = sl(m.kf_feat_level)
 
     F = feat_pt_w.shape[1]
-    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F)).reshape(-1)
-    obs_pt = feat_pt_w.reshape(-1)
-    obs_ok = (obs_pt >= 0) & feat_valid_w.reshape(-1)
+    # [W, F] grid layout: row k = observations of window slot k — the
+    # solvers use it for scatter-free (batched-matmul) assembly
+    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F))
+    obs_pt = feat_pt_w
+    obs_ok = (obs_pt >= 0) & feat_valid_w
     obs_ok = obs_ok & m.pt_valid[jnp.clip(obs_pt, 0, m.pt_cap - 1)]
     obs_pt = jnp.clip(obs_pt, 0, m.pt_cap - 1)
-    obs_uv = feat_xy_w.reshape(W * F, 2)
-    obs_level = feat_level_w.reshape(-1)
-    inv_sig = 1.0 / scale_sigmas[jnp.clip(obs_level, 0, scale_sigmas.shape[0] - 1)]
+    obs_uv = feat_xy_w
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(feat_level_w, 0, scale_sigmas.shape[0] - 1)]
 
     kf_R, kf_t = jax.vmap(_ns_to_cam_pose)(kf_ns_w)
     Rn, tn, pts, inl = local_ba_se3(
@@ -656,7 +658,7 @@ def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
         lambda tbl, w: jax.lax.dynamic_update_slice_in_dim(tbl, w, lo, axis=0),
         m.kf_ns, ns_new,
     )
-    inl_grid = inl.reshape(W, F) | ~obs_ok.reshape(W, F)
+    inl_grid = inl | ~obs_ok
     feat_pt2 = jnp.where(inl_grid, feat_pt_w, -1)
     kf_feat_pt = jax.lax.dynamic_update_slice_in_dim(m.kf_feat_pt, feat_pt2, lo, axis=0)
     return dataclasses.replace(

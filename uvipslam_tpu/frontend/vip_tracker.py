@@ -39,6 +39,7 @@ from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.frontend.tracker import (
     LOST,
     WORKING,
+    IMU_RELOC,
     MonoTracker,
     TrackerConfig,
     _cam_pose_to_ns,
@@ -61,6 +62,15 @@ class VipConfig(TrackerConfig):
     vio_init_min_kfs: int = 5
     vio_init_min_time: float = 3.0   # seconds of KF span (22 s on Aqualoc)
     imu_cap_per_kf: int = 256
+    # 1 = VI (linear [s, g_w] SVD, VI-ORB map-reuse method);
+    # 2/3 = VIP (gravity from accel average + scale from pressure — the
+    # paper's method; reference: ConfigParam Init_mode, LocalMapping.cc:182)
+    init_mode: int = 2
+    # sustained-failure recovery (reference: IMU_RELOCALIZATION tier —
+    # RecoveryInitialization/CreateRecoveryMap, src/Tracking.cc:1529-1834)
+    recovery_min_baseline: float = 0.04   # metres of IMU translation
+    recovery_min_frames: int = 3
+    recovery_max_frames: int = 45         # re-anchor after this many
 
 
 class VipTracker(MonoTracker):
@@ -140,6 +150,9 @@ class VipTracker(MonoTracker):
             self.accw_sum = self.accw_sum + mv(Rwb, mean_acc)
             self.accw_n += 1.0
 
+        if self.vio_ok and self.state == IMU_RELOC:
+            return self._process_frame_recovery(img, pre_frame)
+
         if not self.vio_ok:
             was_state = self.state
             status = super().process_frame(img)
@@ -199,8 +212,14 @@ class VipTracker(MonoTracker):
         n_in = int(n_in)
         status = {}
         if n_in < self.cfg.min_tracked:
-            self.state = LOST
-            status.update(state="LOST", n_inliers=n_in)
+            # sustained-failure tier: keep dead-reckoning on the IMU and
+            # bootstrap a fresh recovery sub-map (reference: the
+            # IMU_RELOCALIZATION state, src/Tracking.cc:594-613,1529-)
+            self.ns_prev = self.ns
+            self.ns = self._depth_override(ns_pred)
+            self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+            self._enter_recovery(img, pyr)
+            status.update(state="IMU_RELOC", n_inliers=n_in)
         else:
             self.tracks = tracks2
             self.ns_prev = self.ns
@@ -287,6 +306,178 @@ class VipTracker(MonoTracker):
         )
 
     # ------------------------------------------------------------------
+    # sustained-failure recovery: IMU dead-reckoning + fresh sub-map
+    # (reference: Tracking.cc — IMU_RELOCALIZATION branch :594-613,
+    # RecoveryInitialization/Recovery_Initialize/CreateRecoveryMap
+    # :1529-1834, RecoveryBundleAdjustemnt src/Optimizer.cc:1886)
+    # ------------------------------------------------------------------
+    def _depth_override(self, ns: NavState) -> NavState:
+        """Clamp the dead-reckoned z to the pressure depth (world z ==
+        depth after VIO init anchoring; reference: :605-613)."""
+        if not self.cur_depth_valid:
+            return ns
+        return dataclasses.replace(ns, p=ns.p.at[2].set(self.cur_depth))
+
+    def _enter_recovery(self, img, pyr):
+        from uvipslam_tpu.frontend.frame import Tracks, refill_tracks
+
+        self.state = IMU_RELOC
+        # anchor: current IMU pose; its preint chain back to the last KF
+        self.rec_anchor_ns = self.ns
+        self.rec_anchor_frame = self.frame_id
+        self.rec_anchor_time = self.frame_time
+        self.rec_anchor_depth = (self.cur_depth, self.cur_depth_valid)
+        self.rec_anchor_preint = self.preint_kf
+        self.rec_anchor_imu = {k: v for k, v in self.kf_imu.items()}
+        self._reset_kf_accumulators()
+        # fresh detection, all tracks born at the anchor
+        t = refill_tracks(
+            Tracks.empty(self.cfg.n_tracks), img, self.frame_id,
+            n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
+        )
+        t = self._undistort(t)
+        self.tracks = dataclasses.replace(
+            t,
+            birth_frame=jnp.full_like(t.birth_frame, self.frame_id),
+            birth_xy_und=t.xy_und,
+        )
+        self.pyr_prev = pyr
+
+    def _process_frame_recovery(self, img, pre_frame):
+        from uvipslam_tpu.frontend.frame import propagate_tracks
+        from uvipslam_tpu.ops.klt import build_flow_pyramid
+        from uvipslam_tpu.ops.twoview import (
+            find_fundamental,
+            reconstruct_from_fundamental,
+        )
+
+        self.frame_id += 1
+        img = jnp.asarray(img, jnp.float32)
+        pyr = tuple(build_flow_pyramid(img, self.cfg.n_levels_klt))
+
+        # pure-IMU propagation with pressure z override
+        g = self.gravity_w
+        dt = pre_frame.dt
+        ns_pred = dataclasses.replace(
+            self.ns,
+            p=self.ns.p + self.ns.v * dt + 0.5 * g * dt * dt + mv(self.ns.R, pre_frame.dP),
+            v=self.ns.v + g * dt + mv(self.ns.R, pre_frame.dV),
+            R=lie.normalize_rotation(mm(self.ns.R, pre_frame.dR)),
+        )
+        self.ns_prev = self.ns
+        self.ns = self._depth_override(ns_pred)
+        self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+
+        # propagate the recovery tracks (no landmark guesses — none exist)
+        n0 = self.tracks.xy.shape[0]
+        self.tracks = propagate_tracks(
+            self.tracks, self.pyr_prev, pyr,
+            self.tracks.xy, jnp.zeros((n0,), bool), self._split(),
+            win=self.cfg.klt_win, iters=self.cfg.klt_iters,
+            levels=self.cfg.n_levels_klt,
+        )
+        self.tracks = self._undistort(self.tracks)
+        self.pyr_prev = pyr
+
+        status = {"state": "IMU_RELOC"}
+        since = self.frame_id - self.rec_anchor_frame
+        if since >= self.cfg.recovery_max_frames or int(
+                jnp.sum(self.tracks.valid)) < self.cfg.min_init_tracks // 2:
+            self._enter_recovery(img, pyr)       # re-anchor and keep trying
+            status["recovery"] = "re-anchored"
+            return status
+
+        Ra, ta = _ns_to_cam_pose(self.rec_anchor_ns)
+        Rc, tc = self.Rcw, self.tcw
+        R_rel_imu = mm(Rc, jnp.swapaxes(Ra, -1, -2))
+        t_rel_imu = tc - mv(R_rel_imu, ta)
+        baseline = float(jnp.linalg.norm(t_rel_imu))
+        if since < self.cfg.recovery_min_frames or baseline < self.cfg.recovery_min_baseline:
+            return status
+
+        # two-view bootstrap between the anchor and this frame
+        t = self.tracks
+        cand = t.valid & (t.birth_frame == self.rec_anchor_frame)
+        F, score, inl = find_fundamental(
+            self._split(), t.birth_xy_und, t.xy_und, cand, sigma=1.0)
+        rec = reconstruct_from_fundamental(
+            F, self.cam.K, t.birth_xy_und, t.xy_und, inl)
+        if not bool(rec["ok"]):
+            return status
+
+        # metric scale from the IMU baseline (pressure-consistent via the
+        # z overrides); vision gives the unit-norm relative translation
+        good = rec["good"]
+        s = baseline
+        pts_c = rec["points"] * s                  # anchor-camera frame
+        Raw = jnp.swapaxes(Ra, -1, -2)
+        pts_w = mv(Raw, pts_c - ta)
+        # current camera pose: vision relative rotation/translation
+        # anchored at the IMU anchor pose
+        R1 = mm(rec["R"], Ra)
+        t1 = rec["t"] * s + mv(rec["R"], ta)
+
+        m = self.map
+        k0_slot = m.n_kf                            # anchor's future slot
+        normals = pts_w - mv(Raw, -ta)
+        dist = jnp.linalg.norm(normals, axis=-1)
+        normals = normals / jnp.maximum(dist[:, None], 1e-9)
+        m, ids = m.add_points(
+            pts_w, t.desc, normals, dist / 2.0, dist * 2.0,
+            k0_slot, jnp.asarray(self.frame_id, jnp.int32), good,
+        )
+        feat_pt = jnp.where(good, ids, -1)
+
+        da, dv = self.rec_anchor_depth
+        m, k0 = m.add_keyframe(
+            self.rec_anchor_ns, jnp.asarray(self.rec_anchor_time, jnp.float32),
+            jnp.asarray(self.rec_anchor_frame, jnp.int32),
+            t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+            da, jnp.asarray(dv),
+            self.rec_anchor_preint, jnp.asarray(self.last_kf_slot, jnp.int32),
+            imu_omg=self.rec_anchor_imu["omg"], imu_acc=self.rec_anchor_imu["acc"],
+            imu_dt=self.rec_anchor_imu["dt"], imu_mask=self.rec_anchor_imu["mask"],
+        )
+        ns_cur = dataclasses.replace(
+            _cam_pose_to_ns(R1, t1), v=self.ns.v, bg=self.ns.bg,
+            ba=self.ns.ba, dbg=self.ns.dbg, dba=self.ns.dba,
+        )
+        m, k1 = m.add_keyframe(
+            ns_cur, jnp.asarray(self.frame_time, jnp.float32),
+            jnp.asarray(self.frame_id, jnp.int32),
+            t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+            self.cur_depth, jnp.asarray(self.cur_depth_valid),
+            self.preint_kf, k0,
+            imu_omg=self.kf_imu["omg"], imu_acc=self.kf_imu["acc"],
+            imu_dt=self.kf_imu["dt"], imu_mask=self.kf_imu["mask"],
+        )
+        m = self._run_vi_ba(m)                      # RecoveryBundleAdjustemnt
+        self.map = m
+        self.tracks = dataclasses.replace(t, pt_id=feat_pt)
+        k1_int = int(k1)
+        ns_k = jax.tree_util.tree_map(lambda a: a[k1_int], m.kf_ns)
+        self.ns = ns_k
+        self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+        self.last_kf_slot = k1_int
+        self.last_kf_frame = self.frame_id
+        self.n_ref_tracked = int(jnp.sum(good))
+        self._reset_kf_accumulators()
+        slot0 = self.rec_anchor_frame % self.RING
+        self.ring_R = self.ring_R.at[slot0].set(Ra)
+        self.ring_t = self.ring_t.at[slot0].set(ta)
+        self.ring_frame = self.ring_frame.at[slot0].set(self.rec_anchor_frame)
+        slot1 = self.frame_id % self.RING
+        self.ring_R = self.ring_R.at[slot1].set(self.Rcw)
+        self.ring_t = self.ring_t.at[slot1].set(self.tcw)
+        self.ring_frame = self.ring_frame.at[slot1].set(self.frame_id)
+        self.state = WORKING
+        self.trajectory.append(
+            (self.frame_id, np.asarray(self.Rcw), np.asarray(self.tcw)))
+        status.update(state="WORKING", recovery="re-initialized",
+                      n_inliers=int(jnp.sum(good)))
+        return status
+
+    # ------------------------------------------------------------------
     def _run_vi_ba(self, m: MapState) -> MapState:
         return _vi_ba_jit(
             m, self.gravity_w,
@@ -320,11 +511,44 @@ class VipTracker(MonoTracker):
                 self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
         )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
 
-        # 3. gravity direction in the vision world (accel average)
-        ghat = self.accw_sum / jnp.maximum(jnp.linalg.norm(self.accw_sum), 1e-9)
-        # measured mean specific force direction ~ -gravity direction
-        g_dir_vision = -ghat
+        has_depth = m.kf_valid & m.kf_depth_valid
         g_cfg_dir = self.gravity_w / jnp.maximum(jnp.linalg.norm(self.gravity_w), 1e-9)
+        ba_est = jnp.zeros(3, jnp.float32)
+
+        if self.cfg.init_mode == 1:
+            # 3/4 (Init_mode 1, VI): joint linear [s, g_w] SVD solve over
+            # consecutive KF triplets — VI-ORB's "map reuse" method
+            # (reference: src/LocalMapping.cc:182-379)
+            ks = jnp.arange(m.kf_cap)
+            triple = (m.kf_valid & jnp.roll(m.kf_valid, 1) & jnp.roll(m.kf_valid, 2)
+                      & (ks >= 2) & (pre2.dt > 1e-6) & (jnp.roll(pre2.dt, 1) > 1e-6))
+            pcb = jnp.zeros(3, jnp.float32)
+            s_lin, g_w = vio_init.estimate_scale_gravity_linear(
+                m.kf_ns.p, m.kf_ns.R, pre2.dP, pre2.dV, pre2.dt, pcb, triple,
+            )
+            # second solve: |g| = 9.81 constraint + accelerometer bias
+            # (reference: src/LocalMapping.cc:262-379)
+            s_lin, g_w, ba_est = vio_init.refine_scale_gravity_accbias(
+                m.kf_ns.p, m.kf_ns.R, pre2.dP, pre2.dV, pre2.dt,
+                pre2.J_P_ba, pre2.J_V_ba, g_w, pcb, triple,
+            )
+            scale = float(s_lin)
+            if not np.isfinite(scale) or scale <= 1e-3:
+                return
+            g_dir_vision = g_w / jnp.maximum(jnp.linalg.norm(g_w), 1e-9)
+            # re-integrate with both biases before velocity recovery
+            pre2 = jax.vmap(
+                lambda o, a, d, msk: preintegrate(
+                    o, a, d, msk, bg, ba_est,
+                    self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+            )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
+        else:
+            # 3 (Init_mode 2/3, VIP — the paper's method): gravity
+            # direction in the vision world from the accelerometer average
+            ghat = self.accw_sum / jnp.maximum(jnp.linalg.norm(self.accw_sum), 1e-9)
+            # measured mean specific force direction ~ -gravity direction
+            g_dir_vision = -ghat
+
         # rotation taking the vision gravity direction onto the configured one
         v = jnp.cross(g_dir_vision, g_cfg_dir)
         sn = jnp.linalg.norm(v)
@@ -332,26 +556,33 @@ class VipTracker(MonoTracker):
         axis = v / jnp.where(sn < 1e-9, 1.0, sn)
         R_align = lie.so3_exp(axis * jnp.arctan2(sn, cs))
 
-        # 4. metric scale from pressure on gravity-aligned z
-        z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
-        has_depth = m.kf_valid & m.kf_depth_valid
-        if int(jnp.sum(has_depth)) < 3:
-            return
-        s_gn, s_naive = vio_init.estimate_scale_from_pressure(
-            z_aligned, m.kf_depth, has_depth,
-        )
-        scale = float(s_gn)
-        if not np.isfinite(scale) or scale <= 1e-3:
-            return
+        if self.cfg.init_mode != 1:
+            # 4. metric scale from pressure on gravity-aligned z
+            z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
+            if int(jnp.sum(has_depth)) < 3:
+                return
+            s_gn, s_naive = vio_init.estimate_scale_from_pressure(
+                z_aligned, m.kf_depth, has_depth,
+            )
+            scale = float(s_gn)
+            if not np.isfinite(scale) or scale <= 1e-3:
+                return
 
         # 5. apply: rotate + rescale the whole world (Map::UpdateScale)
         self._apply_world_sim3(jnp.asarray(scale, jnp.float32), R_align)
         m = self.map
 
-        # depth-anchor offset: world z == pressure depth
+        # depth-anchor offset: world z == pressure depth (skipped in pure
+        # VI mode where no pressure channel exists)
         z_now = m.kf_ns.p[:, 2]
-        off = jnp.sum(jnp.where(has_depth, m.kf_depth - z_now, 0.0)) / jnp.maximum(
-            jnp.sum(has_depth), 1)
+        n_dep = jnp.sum(has_depth)
+        use_anchor = (self.cfg.init_mode != 1) & (int(n_dep) >= 3)
+        off = jnp.where(
+            use_anchor,
+            jnp.sum(jnp.where(has_depth, m.kf_depth - z_now, 0.0))
+            / jnp.maximum(n_dep, 1),
+            0.0,
+        )
         p_shift = m.kf_ns.p.at[:, 2].add(jnp.where(m.kf_valid, off, 0.0))
         pts_shift = m.pt_xyz.at[:, 2].add(jnp.where(m.pt_valid, off, 0.0))
 
@@ -359,6 +590,7 @@ class VipTracker(MonoTracker):
         kf_ns = dataclasses.replace(
             m.kf_ns, p=p_shift,
             bg=jnp.broadcast_to(bg, m.kf_ns.bg.shape),
+            ba=jnp.broadcast_to(ba_est, m.kf_ns.ba.shape),
         )
         # velocities_from_positions expects slot k = preint (k-1)->k and
         # rolls internally; pre2 is already in that convention
@@ -514,13 +746,14 @@ def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
     feat_level_w = sl(m.kf_feat_level)
 
     F = feat_pt_w.shape[1]
-    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F)).reshape(-1)
-    obs_pt = feat_pt_w.reshape(-1)
-    obs_ok = (obs_pt >= 0) & feat_valid_w.reshape(-1)
+    # [W, F] grid layout (scatter-free solver assembly)
+    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F))
+    obs_pt = feat_pt_w
+    obs_ok = (obs_pt >= 0) & feat_valid_w
     obs_ok = obs_ok & m.pt_valid[jnp.clip(obs_pt, 0, m.pt_cap - 1)]
     obs_pt = jnp.clip(obs_pt, 0, m.pt_cap - 1)
-    obs_uv = feat_xy_w.reshape(W * F, 2)
-    inv_sig = 1.0 / scale_sigmas[jnp.clip(feat_level_w.reshape(-1), 0, scale_sigmas.shape[0] - 1)]
+    obs_uv = feat_xy_w
+    inv_sig = 1.0 / scale_sigmas[jnp.clip(feat_level_w, 0, scale_sigmas.shape[0] - 1)]
 
     # boundary (first window slot) fixed; consecutive preint edges within
     # the window, first one masked (it refers outside the window)
@@ -544,7 +777,7 @@ def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
         lambda tbl, w: jax.lax.dynamic_update_slice_in_dim(tbl, w, lo, axis=0),
         m.kf_ns, kf2,
     )
-    inl_grid = obs_in.reshape(W, F) | ~obs_ok.reshape(W, F)
+    inl_grid = obs_in | ~obs_ok
     feat_pt2 = jnp.where(inl_grid, feat_pt_w, -1)
     kf_feat_pt = jax.lax.dynamic_update_slice_in_dim(m.kf_feat_pt, feat_pt2, lo, axis=0)
     return dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2, kf_feat_pt=kf_feat_pt)

@@ -65,6 +65,7 @@ class Settings:
     loop_haloc: int = 0
     loop_bow: int = 0
     init_time: float = 22.0
+    init_mode: int = 2
     klt_levels: int = 5
     klt_window: int = 21
     local_window_size: int = 10
@@ -92,7 +93,7 @@ _KEYMAP = {
     "ORBextractor.nScoreType": "score_type",
     "Mode": "mode", "Enhance": "enhance", "Px_distance": "px_distance",
     "LoopC": "loop_closing", "LoopCHALOC": "loop_haloc", "LoopCBOF": "loop_bow",
-    "time.Init": "init_time",
+    "time.Init": "init_time", "Init_mode": "init_mode",
     "Pyramid.Level": "klt_levels", "Window.Size": "klt_window",
     "LocalMapping.LocalWindowSize": "local_window_size",
     "bagfile": "bagfile", "imutopic": "imu_topic",
@@ -103,6 +104,7 @@ _INT_FIELDS = {
     "rgb", "width", "height", "fisheye", "multiply_g", "n_features",
     "n_levels", "fast_th", "score_type", "mode", "enhance", "px_distance",
     "loop_closing", "loop_haloc", "loop_bow", "klt_levels", "klt_window",
+    "init_mode",
     "local_window_size",
 }
 

@@ -100,6 +100,15 @@ def make_sequence(
             cy_w = 0.15 * np.sin(0.7 * t)
             cz_w = z_amp * np.sin(0.5 * t)    # depth variation for pressure
             yaw = 0.12 * np.sin(0.4 * t)
+        elif motion == "excited":
+            # strong proper acceleration (~1 m/s^2) so that scale is
+            # observable for pure-VI initialization (VI-ORB needs motion
+            # excitation; the paper's pressure method exists precisely
+            # because AUV surveys lack it)
+            cx_w = speed * t + 0.25 * np.sin(2.0 * t)
+            cy_w = 0.20 * np.sin(1.3 * t + 1.0)
+            cz_w = z_amp * np.sin(0.9 * t)
+            yaw = 0.12 * np.sin(0.4 * t)
         else:  # forward
             cx_w, cy_w, cz_w, yaw = 0.0, 0.0, speed * t, 0.0
         centers.append([cx_w, cy_w, cz_w])

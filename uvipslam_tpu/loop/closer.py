@@ -34,7 +34,7 @@ from uvipslam_tpu.loop.reloc import _codebook
 from uvipslam_tpu.loop.vocab import bow_vector, l1_score
 from uvipslam_tpu.mapstate.map import MapState
 from uvipslam_tpu.ops import hamming
-from uvipslam_tpu.ops.sim3solver import sim3_ransac
+from uvipslam_tpu.ops.sim3solver import optimize_sim3, sim3_ransac
 from uvipslam_tpu.solver.essential_graph import (
     correct_points_after_pose_graph,
     optimize_essential_graph,
@@ -100,6 +100,13 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     Xb = mv(Rb, m.pt_xyz[jnp.clip(pid_b, 0, m.pt_cap - 1)]) + tb
 
     s, R, t, inl, n_in = sim3_ransac(key, Xb, Xa, good, fx, fy, cx, cy)
+
+    # GN refinement with paired reprojection edges + re-gate (reference:
+    # OptimizeSim3 >= 20 inlier acceptance after refinement)
+    uv_b = m.kf_feat_xy[kf_b][jnp.clip(idx, 0, m.n_feat - 1)]
+    uv_a = m.kf_feat_xy[kf_a]
+    s, R, t, inl, n_in = optimize_sim3(
+        s, R, t, Xb, Xa, uv_b, uv_a, inl & good, fx, fy, cx, cy)
     return int(n_in) >= min_inliers, s, R, t, int(n_in)
 
 

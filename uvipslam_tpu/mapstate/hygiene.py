@@ -48,6 +48,53 @@ def cull_points(m: MapState, frame_id: jax.Array,
 
 
 @jax.jit
+def cull_keyframes(m: MapState, redundancy: float = 0.9,
+                   min_other_obs: int = 3, keep_last: int = 3) -> MapState:
+    """Invalidate redundant keyframes (reference: KeyFrameCulling
+    src/LocalMapping.cc:1357-1411 — a KF whose map points are >= 90%
+    observed by at least 3 other keyframes is dropped; the reference
+    ships this DISABLED (:815) because removing a KF breaks the IMU
+    preintegration chain). Here it is available for visual-only maps:
+    besides the reference's redundancy test we (a) never cull the first
+    or the `keep_last` newest KFs, (b) splice the kf_prev chain across
+    the culled slot, and (c) cull at most one KF per call so chain
+    splices never cascade within a single pass.
+    """
+    K, F = m.kf_feat_pt.shape
+    obs_ok = (m.kf_feat_pt >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    pid = jnp.clip(m.kf_feat_pt, 0, m.pt_cap - 1)
+    obs_ok = obs_ok & m.pt_valid[pid]
+    # observation count per landmark over the whole table
+    n_obs = jnp.zeros((m.pt_cap,), jnp.int32).at[
+        jnp.where(obs_ok, pid, m.pt_cap - 1).reshape(-1)
+    ].add(obs_ok.reshape(-1).astype(jnp.int32))
+    # a KF's observation is redundant if the point has >= min_other_obs
+    # observations NOT counting this one
+    redundant = obs_ok & (n_obs[pid] - 1 >= min_other_obs)
+    n_own = jnp.sum(obs_ok, axis=1)
+    frac = jnp.sum(redundant, axis=1) / jnp.maximum(n_own, 1)
+
+    first = jnp.argmax(m.kf_valid)
+    slot = jnp.arange(K)
+    protect = (slot == first) | (slot >= m.n_kf - keep_last) | ~m.kf_valid
+    cullable = ~protect & (frac > redundancy) & (n_own > 0)
+    # pick the single most redundant KF (if any)
+    score = jnp.where(cullable, frac, -1.0)
+    k = jnp.argmax(score)
+    do = score[k] > 0
+
+    kf_valid2 = m.kf_valid.at[k].set(jnp.where(do, False, m.kf_valid[k]))
+    # splice: any KF whose prev was k now points at k's prev
+    spliced = jnp.where((m.kf_prev == k) & do, m.kf_prev[k], m.kf_prev)
+    # detach its observations
+    feat_valid2 = m.kf_feat_valid.at[k].set(
+        jnp.where(do, jnp.zeros((F,), bool), m.kf_feat_valid[k]))
+    return dataclasses.replace(
+        m, kf_valid=kf_valid2, kf_prev=spliced, kf_feat_valid=feat_valid2,
+    )
+
+
+@jax.jit
 def fuse_duplicates(m: MapState, radius: float = 0.05,
                     max_desc_dist: float = 50.0) -> MapState:
     """Merge landmark pairs that are spatially near-coincident with

@@ -203,7 +203,8 @@ def brief_descriptors(
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale", "fast_threshold",
-                     "fast_threshold_min", "cell", "px_distance", "steer"),
+                     "fast_threshold_min", "cell", "px_distance", "steer",
+                     "score_type"),
 )
 def extract_orb(
     img: jax.Array,
@@ -217,6 +218,7 @@ def extract_orb(
     cell: int = 20,
     px_distance: int = 20,
     steer: bool = True,
+    score_type: int = 0,
 ) -> Features:
     """Full ORB extraction for one frame.
 
@@ -245,6 +247,13 @@ def extract_orb(
         # low-threshold map used only as epsilon-scaled fallback so any
         # high-threshold corner in a cell always outranks it
         resp = hi + 1e-4 * lo
+        if score_type == 1:
+            # re-rank FAST corners by Harris response (reference:
+            # ORBextractor.cc:655-659 nScoreType==1 uses HarrisResponses
+            # on the FAST candidates; here: gate the dense Harris map by
+            # FAST positivity — same candidates, Harris ordering)
+            har = fast_ops.harris_response(im_l)
+            resp = jnp.where(resp > 0, jnp.maximum(har, 1e-6), 0.0)
         resp = fast_ops.nms(resp)
         if occupied_mask.shape[0] > 1:  # size-1 mask = static "no occupancy"
             occ_l = occupied_xy / s

@@ -121,3 +121,71 @@ def sim3_ransac(
     t_o = jnp.where(better, t_r, t_c[best])
     inl_o = jnp.where(better, inl_r, inl[best])
     return s_o, R_o, t_o, inl_o, jnp.sum(inl_o)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_sim3(s, R, t, p1, p2, uv1, uv2, valid,
+                  fx, fy, cx, cy, max_err2: float = 9.21,
+                  iters: int = 10):
+    """GN refinement of a relative Sim3 from paired reprojection edges
+    (reference: Optimizer::OptimizeSim3, src/Optimizer.cc:2660 — for each
+    3D-3D match, one edge projects p1 (frame-1 camera coords) through S
+    against uv2, the mirror edge projects p2 through S^-1 against uv1;
+    Huber delta^2 = 10, outliers re-gated between rounds).
+
+    The 7-dof Jacobian is `jax.jacfwd` through the left-multiplicative
+    sim3 increment — loop-rate code, autodiff cost is irrelevant.
+    Returns (s, R, t, inlier_mask, n_inliers)."""
+    from uvipslam_tpu.core import lie
+
+    dtype = p1.dtype
+    huber2 = jnp.asarray(10.0, dtype)
+
+    def project(pc):
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+        return jnp.stack([fx * pc[..., 0] / z + cx,
+                          fy * pc[..., 1] / z + cy], -1)
+
+    def residuals(xi, s, R, t):
+        ds, dR, dt = lie.sim3_exp(xi)
+        s2, R2, t2 = lie.sim3_compose(ds, dR, dt, s, R, t)
+        p1in2 = s2 * mv(R2, p1) + t2
+        si, Ri, ti = lie.sim3_inverse(s2, R2, t2)
+        p2in1 = si * mv(Ri, p2) + ti
+        r = jnp.concatenate([project(p1in2) - uv2, project(p2in1) - uv1], 0)
+        return r.reshape(-1)
+
+    def body(carry, _):
+        s, R, t, w = carry
+        z7 = jnp.zeros((7,), dtype)
+        r = residuals(z7, s, R, t).reshape(-1, 2)
+        J = jax.jacfwd(lambda xi: residuals(xi, s, R, t))(z7).reshape(-1, 2, 7)
+        chi2 = jnp.sum(r * r, -1)
+        wh = jnp.where(chi2 > huber2, jnp.sqrt(huber2 / jnp.maximum(chi2, 1e-12)), 1.0)
+        ww = w * wh
+        JW = J * ww[:, None, None]
+        H = jnp.einsum("eri,erj->ij", JW, J) + jnp.eye(7, dtype=dtype) * 1e-6
+        g = jnp.einsum("eri,er->i", JW, r)
+        dx = -jnp.linalg.solve(H, g)
+        ds, dR, dt = lie.sim3_exp(dx)
+        s2, R2, t2 = lie.sim3_compose(ds, dR, dt, s, R, t)
+        R2 = lie.normalize_rotation(R2)
+        # accept only if total robust cost decreases
+        c_old = jnp.sum(ww * chi2)
+        r_new = residuals(z7, s2, R2, t2).reshape(-1, 2)
+        c_new = jnp.sum(ww * jnp.sum(r_new * r_new, -1))
+        ok = c_new < c_old
+        return (jnp.where(ok, s2, s), jnp.where(ok, R2, R),
+                jnp.where(ok, t2, t), w), None
+
+    w0 = jnp.tile(valid.astype(dtype), 2)
+    (s, R, t, _), _ = jax.lax.scan(body, (s, R, t, w0), None, length=iters)
+
+    # final inlier gate on both directions
+    p1in2 = s * mv(R, p1) + t
+    si, Ri, ti = lie.sim3_inverse(s, R, t)
+    p2in1 = si * mv(Ri, p2) + ti
+    e1 = jnp.sum((project(p1in2) - uv2) ** 2, -1)
+    e2 = jnp.sum((project(p2in1) - uv1) ** 2, -1)
+    inl = (e1 < max_err2) & (e2 < max_err2) & valid
+    return s, R, t, inl, jnp.sum(inl)

@@ -81,7 +81,99 @@ def _reproj_blocks_navstate(kf_ns, pts_w, obs_kf, obs_pt, obs_uv, w, Rcb, tcb, f
     return r, J_pvr, J_pt
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "rounds"))
+# ---------------------------------------------------------------------------
+# Scatter-free assembly. TPU scatters (`at[...].add` with data-dependent
+# indices) serialize badly; every accumulation below is either a static
+# reshape/reduction or a one-hot MATMUL that lands on the MXU.
+# ---------------------------------------------------------------------------
+
+
+def _compact_points(obs_pt, obs_mask, pts_w, pt_valid, p_active: int):
+    """Shrink the landmark axis to the points actually observed.
+
+    The one-hot assembly's HBM traffic scales with P; a 16-KF window
+    touches only a few hundred of the thousands of landmark slots, so the
+    solve runs in a compacted space of `p_active` slots and scatters back.
+    Observations of points that overflow `p_active` (cannot happen at the
+    configured sizes: p_active >= min(P, K*F)) drop out via their mask.
+
+    Returns (ids_c [A] source slot per active slot, act_ok [A],
+             obs_ptl local obs indices, keep_ok extra obs mask,
+             pts_loc [A, 3], ptv_loc [A])."""
+    P = pts_w.shape[0]
+    flat = jnp.where(obs_mask, obs_pt, P).reshape(-1)
+    ids = jnp.unique(flat, size=p_active, fill_value=P)      # sorted
+    ids_c = jnp.clip(ids, 0, P - 1)
+    act_ok = ids < P
+    inv = jnp.full((P + 1,), p_active - 1, jnp.int32).at[ids].set(
+        jnp.arange(p_active, dtype=jnp.int32))
+    obs_ptl = inv[jnp.clip(obs_pt, 0, P)]
+    # guard against aliasing if p_active ever overflows
+    keep_ok = (ids_c[obs_ptl] == obs_pt) & act_ok[obs_ptl]
+    pts_loc = pts_w[ids_c]
+    ptv_loc = pt_valid[ids_c] & act_ok
+    return ids_c, act_ok, obs_ptl, keep_ok, pts_loc, ptv_loc
+
+
+def _assemble_reproj(J_pose, J_pt, r, w, obs_kf, obs_pt, K: int, P: int,
+                     oh=None):
+    """Assemble the reprojection normal-equation blocks.
+
+    Two layouts:
+      * grid  — J_pose [K, F, 2, D], obs_kf/obs_pt [K, F]; row k IS the
+        observation set of keyframe slot k (how every tracker call site
+        lays observations out). Per-KF reductions are plain sums; point
+        groupings are K batched one-hot matmuls.
+      * flat  — J_pose [O, 2, D], obs_kf/obs_pt [O]; fully general,
+        one-hot matmuls over both axes.
+
+    Invalid observations must carry w == 0 (they then contribute exactly
+    nothing, as with the scatter formulation).
+    Returns (Hk [K, D, D], gk [K, D], Hpp [P, 3, 3], gp [P, 3],
+             Wp [P, K, D, 3]).
+    """
+    dtype = r.dtype
+    JW = J_pose * w[..., None, None]
+    JptW = J_pt * w[..., None, None]
+    if obs_pt.ndim == 2:
+        Hk = jnp.einsum("kfmi,kfmj->kij", JW, J_pose, precision=_HI)
+        gk = jnp.einsum("kfmi,kfm->ki", JW, r, precision=_HI)
+        if oh is None:
+            oh = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)  # [K,F,P]
+        Hpb = jnp.einsum("kfmi,kfmj->kfij", JptW, J_pt, precision=_HI)
+        gpb = jnp.einsum("kfmi,kfm->kfi", JptW, r, precision=_HI)
+        Wb = jnp.einsum("kfmi,kfmj->kfij", JW, J_pt, precision=_HI)
+        Hpp = jnp.einsum("kfp,kfij->pij", oh, Hpb, precision=_HI)
+        gp = jnp.einsum("kfp,kfi->pi", oh, gpb, precision=_HI)
+        Wp = jnp.einsum("kfp,kfij->pkij", oh, Wb, precision=_HI)
+    else:
+        oh_k = (obs_kf[:, None] == jnp.arange(K)).astype(dtype)      # [O,K]
+        oh_p = (obs_pt[:, None] == jnp.arange(P)).astype(dtype)      # [O,P]
+        Hb = jnp.einsum("omi,omj->oij", JW, J_pose, precision=_HI)
+        gb = jnp.einsum("omi,om->oi", JW, r, precision=_HI)
+        Hpb = jnp.einsum("omi,omj->oij", JptW, J_pt, precision=_HI)
+        gpb = jnp.einsum("omi,om->oi", JptW, r, precision=_HI)
+        Wb = jnp.einsum("omi,omj->oij", JW, J_pt, precision=_HI)
+        Hk = jnp.einsum("ok,oij->kij", oh_k, Hb, precision=_HI)
+        gk = jnp.einsum("ok,oi->ki", oh_k, gb, precision=_HI)
+        Hpp = jnp.einsum("op,oij->pij", oh_p, Hpb, precision=_HI)
+        gp = jnp.einsum("op,oi->pi", oh_p, gpb, precision=_HI)
+        Wk = jnp.einsum("ok,oij->okij", oh_k, Wb)
+        Wp = jnp.einsum("op,okij->pkij", oh_p, Wk, precision=_HI)
+    return Hk, gk, Hpp, gp, Wp
+
+
+def _block_diag_embed(Hk, K: int, S: int, off: int = 0):
+    """Per-KF blocks [K, D, D] -> [K*S, K*S] block diagonal at offset
+    `off` inside each S-wide pose slot. Pure broadcast, no scatter."""
+    D = Hk.shape[-1]
+    eyeK = jnp.eye(K, dtype=Hk.dtype)
+    H4 = Hk[:, :, None, :] * eyeK[:, None, :, None]                  # [K,D,K,D]
+    H4 = jnp.pad(H4, ((0, 0), (off, S - D - off), (0, 0), (off, S - D - off)))
+    return H4.reshape(K * S, K * S)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "rounds", "p_active"))
 def local_ba_navstate(
     kf_ns: NavState,          # [K] window + boundary + observer KFs
     kf_fixed: jax.Array,      # [K] bool: fixed poses (boundary/observers)
@@ -105,15 +197,26 @@ def local_ba_navstate(
     depth_info: jax.Array,    # [K] information (0 disables)
     n_iters: int = 5,
     rounds: int = 2,
+    p_active: int = 2048,
 ):
     """VI(P) local window BA. Pose block: [K, 15] (PVR+bias). Returns
     (kf_ns', pts_w', obs_inlier [O])."""
     dtype = pts_w.dtype
     K = kf_ns.p.shape[0]
-    P = pts_w.shape[0]
+    P_full = pts_w.shape[0]
     C = K * 15
 
     free_kf = kf_valid & ~kf_fixed
+
+    # compact the landmark axis to the observed set (see local_ba_se3)
+    P = min(P_full, p_active if p_active else obs_pt.size)
+    pts_full, ptv_full = pts_w, pt_valid
+    ids_c, act_ok, obs_pt, keep_ok, pts_w, pt_valid = _compact_points(
+        obs_pt, obs_mask, pts_w, pt_valid, P)
+    obs_mask = obs_mask & keep_ok
+    oh_grid = None
+    if obs_pt.ndim == 2:
+        oh_grid = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)
 
     cov = pre.cov + jnp.eye(9, dtype=dtype)[None] * 1e-8
     info_pvr = jnp.linalg.inv(cov)                     # [E, 9, 9]
@@ -128,49 +231,20 @@ def local_ba_navstate(
 
     obs_in = obs_mask
 
-    def build(state, obs_inlier, robust):
-        kf, pts = state
-        Hcc = jnp.zeros((C, C), dtype)
-        gc = jnp.zeros((C,), dtype)
-        Hpp = jnp.zeros((P, 3, 3), dtype)
-        gp = jnp.zeros((P, 3), dtype)
-        W = jnp.zeros((P, C, 3), dtype)
-        total = jnp.asarray(0.0, dtype)
+    eyeK = jnp.eye(K, dtype=dtype)
+    oh_i = (pre_i[:, None] == jnp.arange(K)).astype(dtype)   # [E, K]
+    oh_j = (pre_j[:, None] == jnp.arange(K)).astype(dtype)
 
-        # ---- reprojection edges ----
-        r, J_pvr, J_pt = _reproj_blocks_navstate(
-            kf, pts, obs_kf, obs_pt, obs_uv, None, Rcb, tcb, fx, fy, cx, cy
-        )
-        chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
-        wo = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
-        wo = wo * obs_inv_sigma2 * obs_inlier.astype(dtype)
-        # zero Jacobians of fixed/invalid vertices
-        pose_ok = (free_kf[obs_kf]).astype(dtype)[:, None, None]
-        pt_ok = (pt_free[obs_pt]).astype(dtype)[:, None, None]
-        J_pvr = J_pvr * pose_ok
-        J_pt = J_pt * pt_ok
+    def _add_cross(Hcc4, oha, blk, ohb, offa, offb):
+        """Hcc4 [K,15,K,15] += one-hot-scattered cross blocks (a matmul,
+        not a scatter)."""
+        da, db = blk.shape[-2], blk.shape[-1]
+        upd = jnp.einsum("ea,eij,eb->aibj", oha, blk, ohb, precision=_HI)
+        return Hcc4.at[:, offa:offa + da, :, offb:offb + db].add(upd)
 
-        JW_pvr = J_pvr * wo[:, None, None]
-        Hb = jnp.einsum("omi,omj->oij", JW_pvr, J_pvr, precision=_HI)   # [O, 9, 9]
-        gb = jnp.einsum("omi,om->oi", JW_pvr, r, precision=_HI)
-        Hpb = jnp.einsum("omi,omj->oij", J_pt * wo[:, None, None], J_pt, precision=_HI)
-        gpb = jnp.einsum("omi,om->oi", J_pt * wo[:, None, None], r, precision=_HI)
-        Wb = jnp.einsum("omi,omj->oij", JW_pvr, J_pt, precision=_HI)    # [O, 9, 3]
-
-        # scatter into dense blocks: pose block rows are obs_kf*15 .. +9
-        base = obs_kf * 15
-        ii = base[:, None, None] + jnp.arange(9)[None, :, None]
-        jj = base[:, None, None] + jnp.arange(9)[None, None, :]
-        Hcc = Hcc.at[ii, jj].add(Hb)
-        gc = gc.at[base[:, None] + jnp.arange(9)[None, :]].add(gb)
-        Hpp = Hpp.at[obs_pt].add(Hpb)
-        gp = gp.at[obs_pt].add(gpb)
-        W = W.at[obs_pt[:, None, None],
-                 base[:, None, None] + jnp.arange(9)[None, :, None],
-                 jnp.arange(3)[None, None, :]].add(Wb)
-        total = total + jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
-
-        # ---- preintegration ternary edges (PVR_i, PVR_j, Bias_i) ----
+    def _edge_terms(kf, robust):
+        """Residuals/weights of the non-visual edges (shared between the
+        full build and the cost-only evaluation)."""
         nsi = jax.tree_util.tree_map(lambda a: a[pre_i], kf)
         nsj = jax.tree_util.tree_map(lambda a: a[pre_j], kf)
         rp, J_i, J_j, J_b = factors.preint_pvr(
@@ -181,69 +255,110 @@ def local_ba_navstate(
         chi2p = jnp.einsum("ei,eij,ej->e", rp, info_pvr, rp, precision=_HI)
         wp = huber_weight(chi2p, HUBER2_PVR) if robust else jnp.ones_like(chi2p)
         wp = wp * pre_mask.astype(dtype)
-        # assemble per-edge stacked jacobian over 3 blocks:
-        # cols: [pvr_i(9) at pre_i*15, pvr_j(9) at pre_j*15, bias_i(6) at pre_i*15+9]
-        J_i = J_i * free_kf[pre_i].astype(dtype)[:, None, None]
-        J_j = J_j * free_kf[pre_j].astype(dtype)[:, None, None]
-        J_b = J_b * free_kf[pre_i].astype(dtype)[:, None, None]
-        WJ = jnp.einsum("eij,e->eij", info_pvr, wp, precision=_HI)
 
-        def add_pair(Hcc, gc, Ja, base_a, Jb_, base_b):
-            blk = jnp.einsum("emi,emn,enj->eij", Ja, WJ, Jb_, precision=_HI)
-            ia = base_a[:, None, None] + jnp.arange(Ja.shape[-1])[None, :, None]
-            jb = base_b[:, None, None] + jnp.arange(Jb_.shape[-1])[None, None, :]
-            return Hcc.at[ia, jb].add(blk), gc
-
-        bi = pre_i * 15
-        bj = pre_j * 15
-        bbi = pre_i * 15 + 9
-        for (Ja, ba) in ((J_i, bi), (J_j, bj), (J_b, bbi)):
-            for (Jb_, bb) in ((J_i, bi), (J_j, bj), (J_b, bbi)):
-                Hcc, gc = add_pair(Hcc, gc, Ja, ba, Jb_, bb)
-            gblk = jnp.einsum("emi,emn,en->ei", Ja, WJ, rp, precision=_HI)
-            gc = gc.at[ba[:, None] + jnp.arange(Ja.shape[-1])[None, :]].add(gblk)
-        total = total + jnp.sum(jnp.where(pre_mask, huber_cost(chi2p, HUBER2_PVR), 0.0))
-
-        # ---- bias random-walk edges along the same (i, j) pairs ----
         rb, J_bi, J_bj = factors.bias_walk(
             nsi.dbg, nsi.dba, nsj.dbg, nsj.dba, nsi.bg, nsi.ba, nsj.bg, nsj.ba
         )
         chi2b = jnp.sum(rb * rb * rw_diag, axis=-1)
-        wb = (huber_weight(chi2b, HUBER2_BIAS) if robust else jnp.ones_like(chi2b)) * pre_mask.astype(dtype)
-        J_bi = J_bi * free_kf[pre_i].astype(dtype)[:, None, None]
-        J_bj = J_bj * free_kf[pre_j].astype(dtype)[:, None, None]
-        WJb = rw_diag * wb[:, None]  # diagonal info [E, 6]
-        for (Ja, ba) in ((J_bi, bbi), (J_bj, pre_j * 15 + 9)):
-            for (Jb_, bb) in ((J_bi, bbi), (J_bj, pre_j * 15 + 9)):
-                blk = jnp.einsum("emi,em,emj->eij", Ja, WJb, Jb_, precision=_HI)
-                ia = ba[:, None, None] + jnp.arange(6)[None, :, None]
-                jb = bb[:, None, None] + jnp.arange(6)[None, None, :]
-                Hcc = Hcc.at[ia, jb].add(blk)
-            gblk = jnp.einsum("emi,em,em->ei", Ja, WJb, rb, precision=_HI)
-            gc = gc.at[ba[:, None] + jnp.arange(6)[None, :]].add(gblk)
-        total = total + jnp.sum(jnp.where(pre_mask, huber_cost(chi2b, HUBER2_BIAS), 0.0))
+        wb = (huber_weight(chi2b, HUBER2_BIAS) if robust else jnp.ones_like(chi2b))
+        wb = wb * pre_mask.astype(dtype)
 
-        # ---- per-KF pressure depth priors ----
-        rd, Jd = factors.depth_prior(kf.p, depth_meas)        # [K, 1], [K, 1, 9]
+        rd, Jd = factors.depth_prior(kf.p, depth_meas)       # [K, 1], [K, 1, 9]
         chi2d = rd[:, 0] ** 2 * depth_info
         wd = (huber_weight(chi2d, HUBER2_DEPTH) if robust else jnp.ones_like(chi2d))
         wd = wd * depth_info * free_kf.astype(dtype)
-        bK = jnp.arange(K) * 15
-        blk = jnp.einsum("kmi,k,kmj->kij", Jd, wd, Jd, precision=_HI)
-        ia = bK[:, None, None] + jnp.arange(9)[None, :, None]
-        jb = bK[:, None, None] + jnp.arange(9)[None, None, :]
-        Hcc = Hcc.at[ia, jb].add(blk)
-        gc = gc.at[bK[:, None] + jnp.arange(9)[None, :]].add(
-            jnp.einsum("kmi,k,km->ki", Jd, wd, rd, precision=_HI)
+        return ((rp, J_i, J_j, J_b, chi2p, wp),
+                (rb, J_bi, J_bj, chi2b, wb),
+                (rd, Jd, chi2d, wd))
+
+    def _edge_cost(chi2p, chi2b, chi2d):
+        return (
+            jnp.sum(jnp.where(pre_mask, huber_cost(chi2p, HUBER2_PVR), 0.0))
+            + jnp.sum(jnp.where(pre_mask, huber_cost(chi2b, HUBER2_BIAS), 0.0))
+            + jnp.sum(jnp.where(depth_info > 0, huber_cost(chi2d, HUBER2_DEPTH), 0.0))
         )
-        total = total + jnp.sum(jnp.where(depth_info > 0, huber_cost(chi2d, HUBER2_DEPTH), 0.0))
+
+    def _reproj_chi2(kf, pts):
+        r, _, _ = _reproj_blocks_navstate(
+            kf, pts, obs_kf, obs_pt, obs_uv, None, Rcb, tcb, fx, fy, cx, cy
+        )
+        return jnp.sum(r * r, -1) * obs_inv_sigma2
+
+    def build(state, obs_inlier, robust):
+        kf, pts = state
+
+        # ---- reprojection edges (scatter-free assembly) ----
+        r, J_pvr, J_pt = _reproj_blocks_navstate(
+            kf, pts, obs_kf, obs_pt, obs_uv, None, Rcb, tcb, fx, fy, cx, cy
+        )
+        chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
+        wo = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
+        wo = wo * obs_inv_sigma2 * obs_inlier.astype(dtype)
+        J_pvr = J_pvr * free_kf[obs_kf].astype(dtype)[..., None, None]
+        J_pt = J_pt * pt_free[obs_pt].astype(dtype)[..., None, None]
+
+        Hk, gk, Hpp, gp, Wp = _assemble_reproj(
+            J_pvr, J_pt, r, wo, obs_kf, obs_pt, K, P, oh=oh_grid)
+        Hcc4 = (jnp.pad(Hk, ((0, 0), (0, 6), (0, 6)))[:, :, None, :]
+                * eyeK[:, None, :, None])                       # [K,15,K,15]
+        gc4 = jnp.pad(gk, ((0, 0), (0, 6)))                     # [K, 15]
+        W = jnp.pad(Wp, ((0, 0), (0, 0), (0, 6), (0, 0))).reshape(P, C, 3)
+        total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
+
+        (rp, J_i, J_j, J_b, chi2p, wp), (rb, J_bi, J_bj, chi2b, wb), \
+            (rd, Jd, chi2d, wd) = _edge_terms(kf, robust)
+
+        # ---- preintegration ternary edges (PVR_i, PVR_j, Bias_i) ----
+        J_i = J_i * free_kf[pre_i].astype(dtype)[:, None, None]
+        J_j = J_j * free_kf[pre_j].astype(dtype)[:, None, None]
+        J_b = J_b * free_kf[pre_i].astype(dtype)[:, None, None]
+        WJ = jnp.einsum("eij,e->eij", info_pvr, wp, precision=_HI)
+        blocks = ((J_i, oh_i, 0), (J_j, oh_j, 0), (J_b, oh_i, 9))
+        for (Ja, oha, offa) in blocks:
+            for (Jb_, ohb, offb) in blocks:
+                blk = jnp.einsum("emi,emn,enj->eij", Ja, WJ, Jb_, precision=_HI)
+                Hcc4 = _add_cross(Hcc4, oha, blk, ohb, offa, offb)
+            gblk = jnp.einsum("emi,emn,en->ei", Ja, WJ, rp, precision=_HI)
+            d = Ja.shape[-1]
+            gc4 = gc4.at[:, offa:offa + d].add(
+                jnp.einsum("ea,ei->ai", oha, gblk, precision=_HI))
+
+        # ---- bias random-walk edges along the same (i, j) pairs ----
+        J_bi = J_bi * free_kf[pre_i].astype(dtype)[:, None, None]
+        J_bj = J_bj * free_kf[pre_j].astype(dtype)[:, None, None]
+        WJb = rw_diag * wb[:, None]  # diagonal info [E, 6]
+        bias_blocks = ((J_bi, oh_i), (J_bj, oh_j))
+        for (Ja, oha) in bias_blocks:
+            for (Jb_, ohb) in bias_blocks:
+                blk = jnp.einsum("emi,em,emj->eij", Ja, WJb, Jb_, precision=_HI)
+                Hcc4 = _add_cross(Hcc4, oha, blk, ohb, 9, 9)
+            gblk = jnp.einsum("emi,em,em->ei", Ja, WJb, rb, precision=_HI)
+            gc4 = gc4.at[:, 9:15].add(
+                jnp.einsum("ea,ei->ai", oha, gblk, precision=_HI))
+
+        # ---- per-KF pressure depth priors (unary -> diagonal blocks) ----
+        blk = jnp.einsum("kmi,k,kmj->kij", Jd, wd, Jd, precision=_HI)
+        Hcc4 = Hcc4.at[:, :9, :, :9].add(blk[:, :, None, :] * eyeK[:, None, :, None])
+        gc4 = gc4.at[:, :9].add(jnp.einsum("kmi,k,km->ki", Jd, wd, rd, precision=_HI))
+
+        total = total + _edge_cost(chi2p, chi2b, chi2d)
 
         # gauge: identity on fixed/invalid pose slots
+        Hcc = Hcc4.reshape(C, C)
+        gc = gc4.reshape(C)
         fixed_diag = jnp.repeat(~free_kf, 15).astype(dtype)
         Hcc = Hcc + jnp.diag(fixed_diag)
         Hpp = Hpp + jnp.eye(3, dtype=dtype)[None] * (~pt_free).astype(dtype)[:, None, None]
 
         return (Hcc, gc, Hpp, gp, W), total
+
+    def cost_only(state, obs_inlier, robust):
+        kf, pts = state
+        chi2 = _reproj_chi2(kf, pts)
+        total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
+        (_, _, _, _, chi2p, _), (_, _, _, chi2b, _), (_, _, chi2d, _) = \
+            _edge_terms(kf, robust)
+        return total + _edge_cost(chi2p, chi2b, chi2d)
 
     def retract(state, dc, dp):
         kf, pts = state
@@ -258,13 +373,13 @@ def local_ba_navstate(
             (Hcc, gc, Hpp, gp, W), _ = build(st, obs_inlier, robust)
             dc, dp = _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free)
             st_new = retract(st, dc, dp)
-            _, chi2_new = build(st_new, obs_inlier, robust)
+            chi2_new = cost_only(st_new, obs_inlier, robust)
             accept = chi2_new < chi2
             st_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
             return (st_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        _, chi2_0 = build(state, obs_inlier, robust)
+        chi2_0 = cost_only(state, obs_inlier, robust)
         (st, _, _), _ = jax.lax.scan(
             body, (state, jnp.asarray(1e-4, dtype), chi2_0), None, length=iters
         )
@@ -282,19 +397,18 @@ def local_ba_navstate(
         state = lm_rounds(state, obs_in, robust, n_iters)
         # re-gate observations by chi2 + positive depth
         kf, pts = state
-        r, _, _ = _reproj_blocks_navstate(
-            kf, pts, obs_kf, obs_pt, obs_uv, None, Rcb, tcb, fx, fy, cx, cy
-        )
-        chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
+        chi2 = _reproj_chi2(kf, pts)
         Rbw = jnp.swapaxes(kf.R[obs_kf], -1, -2)
         pc_z = (mv(Rcb, mv(Rbw, pts[obs_pt] - kf.p[obs_kf])) + tcb)[..., 2]
         obs_in = obs_mask & (chi2 <= CHI2_MONO) & (pc_z > 0)
 
     kf, pts = state
-    return kf, pts, obs_in
+    pts_out = pts_full.at[ids_c].set(
+        jnp.where(act_ok[:, None], pts, pts_full[ids_c]))
+    return kf, pts_out, obs_in
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "rounds"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "rounds", "p_active"))
 def local_ba_se3(
     kf_R: jax.Array,          # [K, 3, 3] Tcw rotations
     kf_t: jax.Array,          # [K, 3]    Tcw translations
@@ -310,15 +424,28 @@ def local_ba_se3(
     fx, fy, cx, cy,
     n_iters: int = 5,
     rounds: int = 2,
+    p_active: int = 2048,
 ):
     """Visual-only window/global BA over SE3 camera poses Tcw.
     Returns (kf_R', kf_t', pts_w', obs_inlier)."""
     dtype = pts_w.dtype
     K = kf_R.shape[0]
-    P = pts_w.shape[0]
+    P_full = pts_w.shape[0]
     C = K * 6
     free_kf = kf_valid & ~kf_fixed
     obs_in = obs_mask
+
+    # compact the landmark axis to the observed set (one-hot assembly
+    # traffic scales with the point-slot count)
+    P = min(P_full, p_active if p_active else obs_pt.size)
+    pts_full, ptv_full = pts_w, pt_valid
+    ids_c, act_ok, obs_pt, keep_ok, pts_w, pt_valid = _compact_points(
+        obs_pt, obs_mask, pts_w, pt_valid, P)
+    obs_in = obs_in & keep_ok
+    obs_mask = obs_mask & keep_ok
+    oh_grid = None
+    if obs_pt.ndim == 2:
+        oh_grid = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)
 
     def build(state, obs_inlier, robust):
         (R, t, pts) = state
@@ -328,36 +455,28 @@ def local_ba_se3(
         chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
         wo = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
         wo = wo * obs_inv_sigma2 * obs_inlier.astype(dtype)
-        J_pose = J_pose * free_kf[obs_kf].astype(dtype)[:, None, None]
-        J_pt = J_pt * pt_free[obs_pt].astype(dtype)[:, None, None]
+        J_pose = J_pose * free_kf[obs_kf].astype(dtype)[..., None, None]
+        J_pt = J_pt * pt_free[obs_pt].astype(dtype)[..., None, None]
 
-        JW = J_pose * wo[:, None, None]
-        Hb = jnp.einsum("omi,omj->oij", JW, J_pose, precision=_HI)
-        gb = jnp.einsum("omi,om->oi", JW, r, precision=_HI)
-        Hpb = jnp.einsum("omi,omj->oij", J_pt * wo[:, None, None], J_pt, precision=_HI)
-        gpb = jnp.einsum("omi,om->oi", J_pt * wo[:, None, None], r, precision=_HI)
-        Wb = jnp.einsum("omi,omj->oij", JW, J_pt, precision=_HI)
-
-        Hcc = jnp.zeros((C, C), dtype)
-        gc = jnp.zeros((C,), dtype)
-        base = obs_kf * 6
-        ii = base[:, None, None] + jnp.arange(6)[None, :, None]
-        jj = base[:, None, None] + jnp.arange(6)[None, None, :]
-        Hcc = Hcc.at[ii, jj].add(Hb)
-        gc = gc.at[base[:, None] + jnp.arange(6)[None, :]].add(gb)
-        Hpp = jnp.zeros((P, 3, 3), dtype).at[obs_pt].add(Hpb)
-        gp = jnp.zeros((P, 3), dtype).at[obs_pt].add(gpb)
-        W = jnp.zeros((P, C, 3), dtype).at[
-            obs_pt[:, None, None],
-            base[:, None, None] + jnp.arange(6)[None, :, None],
-            jnp.arange(3)[None, None, :],
-        ].add(Wb)
+        Hk, gk, Hpp, gp, Wp = _assemble_reproj(
+            J_pose, J_pt, r, wo, obs_kf, obs_pt, K, P, oh=oh_grid)
+        Hcc = _block_diag_embed(Hk, K, 6)
+        gc = gk.reshape(C)
+        W = Wp.reshape(P, C, 3)
 
         fixed_diag = jnp.repeat(~free_kf, 6).astype(dtype)
         Hcc = Hcc + jnp.diag(fixed_diag)
         Hpp = Hpp + jnp.eye(3, dtype=dtype)[None] * (~pt_free).astype(dtype)[:, None, None]
         total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
         return (Hcc, gc, Hpp, gp, W), total
+
+    def cost_only(state, obs_inlier, robust):
+        (R, t, pts) = state
+        r, _, _ = factors.reproj_se3(
+            R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, fx, fy, cx, cy
+        )
+        chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
+        return jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
 
     def retract(state, dc, dp):
         (R, t, pts) = state
@@ -371,13 +490,13 @@ def local_ba_se3(
             (Hcc, gc, Hpp, gp, W), _ = build(st, obs_inlier, robust)
             dc, dp = _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free)
             st_new = retract(st, dc, dp)
-            _, chi2_new = build(st_new, obs_inlier, robust)
+            chi2_new = cost_only(st_new, obs_inlier, robust)
             accept = chi2_new < chi2
             st_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
             return (st_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        _, chi2_0 = build(state, obs_inlier, robust)
+        chi2_0 = cost_only(state, obs_inlier, robust)
         (st, _, _), _ = jax.lax.scan(
             body, (state, jnp.asarray(1e-4, dtype), chi2_0), None, length=iters
         )
@@ -396,4 +515,7 @@ def local_ba_se3(
         obs_in = obs_mask & (chi2 <= CHI2_MONO) & (pc_z > 0)
 
     R, t, pts = state
-    return R, t, pts, obs_in
+    # scatter the optimized active points back into the full table
+    pts_out = pts_full.at[ids_c].set(
+        jnp.where(act_ok[:, None], pts, pts_full[ids_c]))
+    return R, t, pts_out, obs_in

@@ -192,6 +192,99 @@ def estimate_scale_gravity_linear(
     return x[0], x[1:4]
 
 
+def refine_scale_gravity_accbias(
+    kf_p_c: jax.Array,     # [K, 3] camera centers (vision frame)
+    kf_R_wb: jax.Array,    # [K, 3, 3]
+    pre_dP: jax.Array,     # [K, 3] preint dP (prev -> k), gyro-bias corrected
+    pre_dV: jax.Array,     # [K, 3]
+    pre_dt: jax.Array,     # [K]
+    J_P_ba: jax.Array,     # [K, 3, 3] d dP / d ba
+    J_V_ba: jax.Array,     # [K, 3, 3] d dV / d ba
+    g0: jax.Array,         # [3] gravity estimate from the 4x1 solve
+    pcb: jax.Array,        # [3]
+    triple_mask: jax.Array,
+    g_mag: float = 9.810,
+    sigma_dth: float = 0.3,
+    sigma_ba: float = 0.2,
+):
+    """VI-ORB's second linear solve: [s, dtheta_xy, ba] (6x1 SVD) with the
+    gravity MAGNITUDE fixed at 9.81 (reference: src/LocalMapping.cc:262-379
+    — the |g|=G constraint removes the weakly-observable gravity norm and
+    adds the accelerometer-bias columns via the preint bias Jacobians).
+
+    Parameterization: g_w = Rwi Exp([dthx, dthy, 0]) gI with gI = (0,0,-G)
+    and Rwi the rotation taking gI onto g0's direction.
+    Returns (s, g_w_refined, ba)."""
+    dtype = kf_p_c.dtype
+    K = kf_p_c.shape[0]
+    c1 = jnp.roll(kf_p_c, 2, 0)
+    c2 = jnp.roll(kf_p_c, 1, 0)
+    c3 = kf_p_c
+    Rb1 = jnp.roll(kf_R_wb, 2, 0)
+    Rb2 = jnp.roll(kf_R_wb, 1, 0)
+    Rb3 = kf_R_wb
+    dp12 = jnp.roll(pre_dP, 1, 0)
+    dv12 = jnp.roll(pre_dV, 1, 0)
+    dp23 = pre_dP
+    Jp12 = jnp.roll(J_P_ba, 1, 0)
+    Jv12 = jnp.roll(J_V_ba, 1, 0)
+    Jp23 = J_P_ba
+    T12 = jnp.roll(pre_dt, 1, 0)[:, None]
+    T23 = pre_dt[:, None]
+
+    gI = jnp.asarray([0.0, 0.0, -g_mag], dtype)
+    # Rwi (0,0,-1) = g0_dir  <=>  Rwi (0,0,1) = -g0_dir
+    g0_dir = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+    Rwi = rotation_to_gravity(-g0_dir)
+    gw0 = mv(Rwi, gI)
+
+    lam = (c3 - c2) * T12 - (c2 - c1) * T23                       # [K, 3]
+    beta_coef = -0.5 * (T12 * T12 * T23 + T12 * T23 * T23)        # [K, 1]
+    # d g_w / d dtheta (left perturbation on Rwi): -Rwi hat(gI), xy cols
+    dG = -mm(Rwi, _hat(gI))[:, :2]                                # [3, 2]
+    beta_th = beta_coef[..., None] * jnp.broadcast_to(dG, (K, 3, 2))
+    # accel-bias columns: gamma(ba) = gamma0 + psi @ ba
+    psi = (
+        mm(Rb2, Jp23) * T12[..., None]
+        - mm(Rb1, Jp12) * T23[..., None]
+        + mm(Rb1, Jv12) * (T12 * T23)[..., None]
+    )                                                             # [K, 3, 3]
+    gamma0 = (
+        mv(Rb2, dp23) * T12
+        - mv(Rb1, dp12) * T23
+        + mv(Rb1, dv12) * (T12 * T23)
+        - (mv(Rb3 - Rb2, pcb) * T12 - mv(Rb2 - Rb1, pcb) * T23)
+    )
+    b = gamma0 - beta_coef * gw0
+
+    idx = jnp.arange(K)
+    w = (triple_mask & (idx >= 2)).astype(dtype)
+    A = jnp.concatenate([lam[..., None], beta_th, -psi], axis=-1)  # [K, 3, 6]
+    A = A * w[:, None, None]
+    bb = (b * w[:, None]).reshape(-1)
+    A2 = A.reshape(-1, 6)
+    # zero-mean priors on [dtheta_xy, ba] regularize the weakly-excited
+    # case (short windows / gentle motion make the gravity-tilt and
+    # accel-bias columns nearly collinear; the reference compensates by
+    # demanding a 22 s window before accepting — time.Init)
+    prior = jnp.asarray(
+        [0.0, 1.0 / sigma_dth**2, 1.0 / sigma_dth**2,
+         1.0 / sigma_ba**2, 1.0 / sigma_ba**2, 1.0 / sigma_ba**2], dtype)
+    H = A2.T @ A2 + jnp.diag(prior) + 1e-9 * jnp.eye(6, dtype=dtype)
+    x = jnp.linalg.solve(H, A2.T @ bb)
+    s, dth, ba = x[0], x[1:3], x[3:6]
+    g_w = mv(mm(Rwi, lie.so3_exp(jnp.asarray([dth[0], dth[1], 0.0], dtype))), gI)
+    return s, g_w, ba
+
+
+def _hat(v):
+    return jnp.asarray([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ], v.dtype)
+
+
 def velocities_from_positions(
     kf_p_wb: jax.Array,    # [K, 3] body positions (metric, gravity frame)
     kf_R_wb: jax.Array,    # [K, 3, 3]
