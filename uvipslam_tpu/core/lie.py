@@ -373,3 +373,29 @@ def sim3_compose(sa, Ra, ta, sb, Rb, tb):
 
 def sim3_apply(s, R, t, x):
     return s[..., None] * mv(R, x) + t
+
+
+def inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det). `jnp.linalg.inv`
+    lowers to batched LU — serial and ~100x slower on TPU; this is pure
+    elementwise VPU work."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj / det[..., None, None]

@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 
 _HI = jax.lax.Precision.HIGHEST
@@ -115,7 +116,7 @@ def _epipolar_errors(F: jax.Array, xa: jax.Array, xb: jax.Array):
 
 def _homography_errors(H: jax.Array, xa: jax.Array, xb: jax.Array):
     """Squared symmetric transfer errors for H (and H^{-1})."""
-    Hinv = jnp.linalg.inv(H)
+    Hinv = lie.inv3x3(H)
     ah = jnp.concatenate([xa, jnp.ones_like(xa[..., :1])], axis=-1)
     bh = jnp.concatenate([xb, jnp.ones_like(xb[..., :1])], axis=-1)
     pb = jnp.einsum("...ij,nj->...ni", H, ah, precision=_HI)
@@ -191,7 +192,7 @@ def find_homography(
     xbn, Tb = normalize_points(xb, valid)
     idx = _sample_minimal(key, n_iters, 4, valid)
     Hs = homography_from_4pt(xan[idx], xbn[idx])
-    H_full = mm(jnp.linalg.inv(Tb)[None], mm(Hs, Ta[None]))
+    H_full = mm(lie.inv3x3(Tb)[None], mm(Hs, Ta[None]))
     d_a, d_b = _homography_errors(H_full, xa, xb)
     score, inlier = _ransac_score(d_a, d_b, valid, TH_H, sigma * sigma)
     best = jnp.argmax(score)
@@ -206,7 +207,7 @@ def find_homography(
     r2 = jnp.stack([x1, y1, one, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1) * w
     A = jnp.concatenate([r1, r2], axis=0)
     h = _solve_dlt(A[None])[0]
-    Hr_full = mm(jnp.linalg.inv(Tb), mm(h.reshape(3, 3), Ta))
+    Hr_full = mm(lie.inv3x3(Tb), mm(h.reshape(3, 3), Ta))
     d_a2, d_b2 = _homography_errors(Hr_full[None], xa, xb)
     score2, inlier2 = _ransac_score(d_a2, d_b2, valid, TH_H, sigma * sigma)
     use_ref = score2[0] >= score[best]

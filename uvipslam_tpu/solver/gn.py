@@ -38,15 +38,74 @@ def huber_cost(chi2: jax.Array, delta2: float) -> jax.Array:
     )
 
 
+def inv_spd(H: jax.Array) -> jax.Array:
+    """Batched SPD inverse by recursive 2x2 block Schur elimination down
+    to closed-form 1/2/3-dim bases.
+
+    `jnp.linalg.inv`/`solve` lower to batched LU on TPU — a SERIAL
+    routine (~ms even for [2048, 3, 3]); this recursion is nothing but
+    parallel (batched) matmuls and elementwise arithmetic. Recursion
+    depth is log2(n); intended for the solver's small dense systems
+    (6/9/15-dof pose blocks, <=16-KF window Schur complements). Inputs
+    should be Jacobi-scaled/damped for f32 conditioning (solve_spd does)."""
+    n = H.shape[-1]
+    if n == 1:
+        return 1.0 / jnp.where(jnp.abs(H) < 1e-20, 1e-20, H)
+    if n == 2:
+        a, b = H[..., 0, 0], H[..., 0, 1]
+        c, d = H[..., 1, 0], H[..., 1, 1]
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        row0 = jnp.stack([d, -b], -1)
+        row1 = jnp.stack([-c, a], -1)
+        return jnp.stack([row0, row1], -2) / det[..., None, None]
+    if n == 3:
+        from uvipslam_tpu.core.lie import inv3x3
+        return inv3x3(H)
+    m = (n // 2 + 2) // 3 * 3 if n % 3 == 0 else n // 2   # keep 3-aligned splits
+    m = min(max(m, 1), n - 1)
+    A = H[..., :m, :m]
+    B = H[..., :m, m:]
+    Cb = H[..., m:, m:]
+    Ai = inv_spd(A)
+    AiB = jnp.einsum("...ij,...jk->...ik", Ai, B, precision=_HI)
+    S = Cb - jnp.einsum("...ji,...jk->...ik", B, AiB, precision=_HI)
+    Si = inv_spd(S)
+    TR = -jnp.einsum("...ij,...jk->...ik", AiB, Si, precision=_HI)
+    TL = Ai - jnp.einsum("...ij,...kj->...ik", TR, AiB, precision=_HI)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def inv_spd_scaled(H: jax.Array, refine: int = 2) -> jax.Array:
+    """Jacobi-scaled `inv_spd` with Newton iterative refinement
+    (X <- X (2I - H X)) to recover the digits the f32 block recursion
+    loses on ill-conditioned systems. Still pure batched matmuls."""
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12))
+    Hs = H * s[..., :, None] * s[..., None, :]
+    X = inv_spd(Hs)
+    I2 = 2.0 * jnp.eye(H.shape[-1], dtype=H.dtype)
+    for _ in range(refine):
+        HX = jnp.einsum("...ij,...jk->...ik", Hs, X, precision=_HI)
+        X = jnp.einsum("...ij,...jk->...ik", X, I2 - HX, precision=_HI)
+    return X * s[..., :, None] * s[..., None, :]
+
+
 def solve_spd(H: jax.Array, b: jax.Array, damping: jax.Array | float = 0.0) -> jax.Array:
     """Solve (H + damping*diag(H)) x = b with Jacobi pre-scaling for f32
-    conditioning. H: [n, n] SPD-ish, b: [n]."""
+    conditioning. H: [.., n, n] SPD-ish, b: [.., n].
+
+    Uses LU (`jnp.linalg.solve`): serial on TPU but called once per LM
+    iteration on a SINGLE small system — cheaper in practice than the
+    batched-matmul `inv_spd` recursion plus the refinement it needs.
+    `inv_spd`/`inv_spd_scaled` are for BATCHED small inverses, where LU
+    serializes over the batch (e.g. per-landmark 3x3, per-edge 9x9)."""
     d = jnp.diagonal(H, axis1=-2, axis2=-1)
     H = H + jnp.asarray(damping) * jnp.eye(H.shape[-1], dtype=H.dtype) * jnp.maximum(d, 1e-8)
     s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12))
     Hs = H * s[..., :, None] * s[..., None, :]
     bs = b * s
-    # cho_factor on TPU: use jnp.linalg.solve (LU) — small systems
     y = jnp.linalg.solve(Hs, bs[..., None])[..., 0]
     return y * s
 

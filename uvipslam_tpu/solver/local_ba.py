@@ -33,7 +33,7 @@ from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.solver import factors
-from uvipslam_tpu.solver.gn import huber_cost, huber_weight, solve_spd
+from uvipslam_tpu.solver.gn import inv_spd_scaled, huber_cost, huber_weight, solve_spd
 
 _HI = jax.lax.Precision.HIGHEST
 CHI2_MONO = 5.991
@@ -60,7 +60,7 @@ def _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free):
     )
     Hpp_d = Hpp + dHpp + jnp.eye(3, dtype=dtype)[None] * 1e-8
 
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = lie.inv3x3(Hpp_d)
     Hpp_inv = jnp.where(pt_free[:, None, None], Hpp_inv, 0.0)
 
     Y = jnp.einsum("pcj,pjk->pck", W, Hpp_inv, precision=_HI)   # [P, C, 3]
@@ -136,6 +136,8 @@ def _assemble_reproj(J_pose, J_pt, r, w, obs_kf, obs_pt, K: int, P: int,
     JW = J_pose * w[..., None, None]
     JptW = J_pt * w[..., None, None]
     if obs_pt.ndim == 2:
+        K_, F_ = obs_pt.shape
+        D = J_pose.shape[-1]
         Hk = jnp.einsum("kfmi,kfmj->kij", JW, J_pose, precision=_HI)
         gk = jnp.einsum("kfmi,kfm->ki", JW, r, precision=_HI)
         if oh is None:
@@ -143,9 +145,15 @@ def _assemble_reproj(J_pose, J_pt, r, w, obs_kf, obs_pt, K: int, P: int,
         Hpb = jnp.einsum("kfmi,kfmj->kfij", JptW, J_pt, precision=_HI)
         gpb = jnp.einsum("kfmi,kfm->kfi", JptW, r, precision=_HI)
         Wb = jnp.einsum("kfmi,kfmj->kfij", JW, J_pt, precision=_HI)
-        Hpp = jnp.einsum("kfp,kfij->pij", oh, Hpb, precision=_HI)
-        gp = jnp.einsum("kfp,kfi->pi", oh, gpb, precision=_HI)
-        Wp = jnp.einsum("kfp,kfij->pkij", oh, Wb, precision=_HI)
+        # single grouping GEMM: the one-hot is the bandwidth cost, so read
+        # it ONCE — concatenate all per-observation blocks along a value
+        # axis and split the [P, K, .] result
+        vals = jnp.concatenate(
+            [Hpb.reshape(K_, F_, 9), gpb, Wb.reshape(K_, F_, D * 3)], -1)
+        out = jnp.einsum("kfp,kfc->pkc", oh, vals, precision=_HI)
+        Hpp = out[..., :9].sum(1).reshape(P, 3, 3)
+        gp = out[..., 9:12].sum(1)
+        Wp = out[..., 12:].reshape(P, K_, D, 3)
     else:
         oh_k = (obs_kf[:, None] == jnp.arange(K)).astype(dtype)      # [O,K]
         oh_p = (obs_pt[:, None] == jnp.arange(P)).astype(dtype)      # [O,P]
@@ -219,7 +227,7 @@ def local_ba_navstate(
         oh_grid = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)
 
     cov = pre.cov + jnp.eye(9, dtype=dtype)[None] * 1e-8
-    info_pvr = jnp.linalg.inv(cov)                     # [E, 9, 9]
+    info_pvr = inv_spd_scaled(cov)                     # [E, 9, 9]
     dT = pre.dt
     rw_diag = jnp.concatenate(
         [

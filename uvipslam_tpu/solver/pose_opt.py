@@ -21,7 +21,7 @@ from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.solver import factors
-from uvipslam_tpu.solver.gn import accumulate_normal_eqs, huber_cost, huber_weight, lm_solve, solve_spd
+from uvipslam_tpu.solver.gn import inv_spd_scaled, accumulate_normal_eqs, huber_cost, huber_weight, lm_solve, solve_spd
 
 _HI = jax.lax.Precision.HIGHEST
 CHI2_MONO = 5.991
@@ -134,7 +134,7 @@ def pose_optimization_vi(
     dTij = preint.dt
     # preintegration information: inverse of 9x9 covariance
     cov = preint.cov + jnp.eye(9, dtype=dtype) * 1e-8
-    info_pvr = jnp.linalg.inv(cov)
+    info_pvr = inv_spd_scaled(cov)
     info_bias = jnp.diag(
         jnp.concatenate([
             jnp.full((3,), 1.0 / jnp.maximum(gyr_bias_rw2 * dTij, 1e-12), dtype),
