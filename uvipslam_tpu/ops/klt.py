@@ -135,18 +135,23 @@ def global_shift(img_a: jax.Array, img_b: jax.Array, radius: int = 8):
     the capture-range role of the multi-level KLT pyramid for the
     translation-dominant inter-frame motion of video).
 
-    Returns (dx, dy) such that b(x) ~= a(x - d) => features move by +d."""
+    Returns (dx, dy) such that b(x) ~= a(x - d) => features move by +d.
+
+    Formulated as TWO convolutions instead of (2r+1)^2 shifted
+    subtractions (which compile to hundreds of tiny slice ops):
+      SSD(d) = sum(a^2) - 2 corr(b, a)[d] + boxsum(b^2)[d]
+    with corr = valid cross-correlation of b against the center crop of
+    a, and boxsum a ones-kernel convolution — both MXU convs."""
     H, W = img_a.shape
     r = radius
     a = img_a[r:H - r, r:W - r]
-    best = None
-    costs = []
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            b = img_b[r + dy:H - r + dy, r + dx:W - r + dx]
-            d = a - b
-            costs.append(jnp.mean(d * d))
-    costs = jnp.stack(costs)
+    dn = jax.lax.conv_general_dilated
+    b4 = img_b[None, None]
+    corr = dn(b4, a[None, None], (1, 1), "VALID",
+              precision=jax.lax.Precision.HIGHEST)[0, 0]          # [n, n]
+    b2 = dn(b4 * b4, jnp.ones_like(a)[None, None], (1, 1), "VALID",
+            precision=jax.lax.Precision.HIGHEST)[0, 0]
+    costs = b2 - 2.0 * corr                                       # + const
     k = jnp.argmin(costs)
     n = 2 * r + 1
     dy = k // n - r
