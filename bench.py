@@ -6,8 +6,10 @@ Prints ONE JSON line:
 
 Baseline = the reference's implicit real-time budget: 20 fps camera rate
 on CPU (BASELINE.md). The sequence mimics Aqualoc harbor geometry:
-512x640 frames, 400 features, 20 fps camera; ATE sanity is asserted so
-the number is only reported for a *working* tracker.
+512x640 frames, 400 features, 20 fps camera. The fps value is gated on
+tracking validity: if <80% of frames reach WORKING or the ATE exceeds
+2% of the trajectory span, value is 0.0 and extra.ok is false — a broken
+tracker can never publish a headline number.
 
 Measurement mode: the whole sequence replays inside ONE device program
 (`lax.scan` over the fused tracking step) — the framework's native
@@ -82,19 +84,32 @@ def main():
     if working.sum() > 5:
         ate, _ = ate_rmse(C[working], seq.positions_w[np.nonzero(working)[0]])
 
+    # Tracking-validity gate: an fps number is only a SLAM number if the
+    # tracker actually tracked. Mono init legitimately spends the first
+    # few frames INITIALIZING, so require 80% WORKING coverage and a
+    # sane ATE (<2% of trajectory span); otherwise report ok:false with
+    # value 0 so a regression can never publish a headline throughput.
+    span = float(np.linalg.norm(seq.positions_w[-1] - seq.positions_w[0]))
+    tracked_ok = working.sum() >= 0.8 * N_FRAMES
+    ate_ok = 0.0 <= ate < 0.02 * span
+    valid = bool(tracked_ok and ate_ok)
+
+    extra = {
+        "ok": valid,
+        "frames_tracked": int(working.sum()),
+        "n_frames": N_FRAMES,
+        "ate_m": round(float(ate), 4),
+        "ate_threshold_m": round(0.02 * span, 4),
+        "fps_streamed": round(fps_streamed, 2),
+        "compile_s": round(compile_s, 1),
+        "total_wall_s": round(time.time() - t_start, 1),
+    }
     print(json.dumps({
         "metric": "mono tracking+local-BA fps (512x640, 400 feats, synthetic Aqualoc-like)",
-        "value": round(fps, 2),
+        "value": round(fps, 2) if valid else 0.0,
         "unit": "fps",
-        "vs_baseline": round(fps / 20.0, 3),
-        "extra": {
-            "frames_tracked": int(working.sum()),
-            "n_frames": N_FRAMES,
-            "ate_m": round(float(ate), 4),
-            "fps_streamed": round(fps_streamed, 2),
-            "compile_s": round(compile_s, 1),
-            "total_wall_s": round(time.time() - t_start, 1),
-        },
+        "vs_baseline": round(fps / 20.0, 3) if valid else 0.0,
+        "extra": extra,
     }))
 
 

@@ -130,3 +130,53 @@ class TestReconstruction:
         P2 = K @ Rt
         X = twoview.triangulate_linear(P1, P2, jnp.asarray(sc["x1"]), jnp.asarray(sc["x2"]))
         np.testing.assert_allclose(np.asarray(X), sc["X"], atol=1e-6)
+
+
+class TestF32Regression:
+    """Round-1 regression guards: the f32 path (the library's runtime
+    dtype) must behave like the f64 path. In round 1 an f32
+    inverse-iteration DLT collapsed F to ~0, and the degenerate
+    hypothesis won RANSAC with a perfect score (BENCH_r01:
+    frames_tracked 0)."""
+
+    def test_find_fundamental_f32(self):
+        sc = make_scene()
+        with jax.enable_x64(False):
+            F, score, inl = twoview.find_fundamental(
+                jax.random.PRNGKey(0),
+                jnp.asarray(sc["x1"], jnp.float32),
+                jnp.asarray(sc["x2"], jnp.float32),
+                jnp.ones(len(sc["x1"]), bool), sigma=1.0,
+            )
+            assert float(jnp.max(jnp.abs(F))) > 1e-8, "F collapsed to zero"
+            inl = np.asarray(inl)
+            true_in = ~sc["is_outlier"]
+            assert inl[true_in].mean() > 0.85
+            assert inl[sc["is_outlier"]].mean() < 0.1
+
+    def test_reconstruct_f32(self):
+        sc = make_scene(noise=0.2, outlier_frac=0.15)
+        with jax.enable_x64(False):
+            K = jnp.asarray(sc["K"], jnp.float32)
+            x1 = jnp.asarray(sc["x1"], jnp.float32)
+            x2 = jnp.asarray(sc["x2"], jnp.float32)
+            F, _, inl = twoview.find_fundamental(
+                jax.random.PRNGKey(4), x1, x2, jnp.ones(len(sc["x1"]), bool)
+            )
+            out = twoview.reconstruct_from_fundamental(F, K, x1, x2, inl)
+            assert bool(out["ok"]), (int(out["n_good"]), float(out["parallax"]))
+            dR = np.asarray(out["R"]).T @ sc["R"]
+        ang = np.degrees(np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR)))))
+        assert ang < 2.0, ang
+
+    def test_degenerate_hypothesis_rejected(self):
+        """An all-zero F must score 0 inliers, not a perfect score."""
+        sc = make_scene()
+        d_a, d_b = twoview._epipolar_errors(
+            jnp.zeros((1, 3, 3)), jnp.asarray(sc["x1"]), jnp.asarray(sc["x2"])
+        )
+        score, inlier = twoview._ransac_score(
+            d_a, d_b, jnp.ones(len(sc["x1"]), bool), twoview.TH_F, 1.0
+        )
+        assert float(score[0]) == 0.0
+        assert int(inlier[0].sum()) == 0

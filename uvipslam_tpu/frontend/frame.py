@@ -104,7 +104,8 @@ def propagate_tracks(
     """
     # dominant inter-frame translation from 1/4-res images: the capture-
     # range provider for tracks without a motion-model guess
-    shift = global_shift(pyr_prev[2], pyr_cur[2], radius=8) * 4.0
+    lvl = min(2, len(pyr_prev) - 1)
+    shift = global_shift(pyr_prev[lvl], pyr_cur[lvl], radius=8) * float(2 ** lvl)
     start = jnp.where(guess_ok[:, None], guess_xy, tracks.xy + shift[None, :])
 
     # mid: half-res anchor (capture ~ +-10 px at full res)

@@ -620,7 +620,7 @@ def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
     boundary; observations from older keyframes are dropped rather than
     kept as fixed anchors — the window's own fixed slots provide the
     gauge)."""
-    W = W_KF_BA
+    W = min(W_KF_BA, m.kf_cap)
     lo = jnp.clip(m.n_kf - W, 0, m.kf_cap - W).astype(jnp.int32)
 
     def sl(a):

@@ -143,7 +143,8 @@ def global_shift(img_a: jax.Array, img_b: jax.Array, radius: int = 8):
     with corr = valid cross-correlation of b against the center crop of
     a, and boxsum a ones-kernel convolution — both MXU convs."""
     H, W = img_a.shape
-    r = radius
+    # clamp radius so the center crop stays non-empty on tiny images
+    r = min(radius, (min(H, W) - 2) // 2)
     a = img_a[r:H - r, r:W - r]
     dn = jax.lax.conv_general_dilated
     b4 = img_b[None, None]

@@ -234,6 +234,11 @@ def extract_orb(
     Output slots: exactly `n_features`, mask-padded.
     """
     dtype = img.dtype
+    # drop pyramid levels too small for the 35px descriptor patch
+    # (matters only for tiny test/dry-run images)
+    min_side = min(img.shape[0], img.shape[1])
+    while n_levels > 1 and min_side / scale ** (n_levels - 1) < 40:
+        n_levels -= 1
     pyr = build_pyramid(img, n_levels, scale)
     quotas = level_quotas(n_features, n_levels, scale)
 

@@ -65,46 +65,10 @@ def _sample_minimal(key, n_iters: int, k: int, valid: jax.Array) -> jax.Array:
     return idx
 
 
-def _solve_dlt(A: jax.Array, iters: int = 10) -> jax.Array:
-    """Null vector of each [B, m, 9] system.
-
-    Batched SVD lowers to a SERIAL iterative routine on TPU (~ms for a
-    few hundred hypotheses); inverse iteration on the 9x9 normal matrix
-    is pure batched matmuls: x <- normalize((A^T A + eps I)^-1 x)
-    converges to the smallest-eigenvalue direction at ratio
-    (lam_min+eps)/(lam_2+eps) — for (near-)exact minimal systems
-    lam_min ~ 0 and 2-3 iterations suffice; eps keeps the inverse finite."""
-    from uvipslam_tpu.solver.gn import inv_spd_scaled
-
-    AtA = jnp.einsum("...mi,...mj->...ij", A, A,
-                     precision=jax.lax.Precision.HIGHEST)
-    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
-    M = inv_spd_scaled(AtA + (1e-7 / 9.0) * tr * jnp.eye(9, dtype=A.dtype))
-    x = jnp.ones(AtA.shape[:-2] + (9,), A.dtype) / 3.0
-    for _ in range(iters):
-        x = jnp.einsum("...ij,...j->...i", M, x,
-                       precision=jax.lax.Precision.HIGHEST)
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
-    return x
-
-
-def _rank2_project(F: jax.Array, iters: int = 12) -> jax.Array:
-    """Project [B, 3, 3] onto rank 2: F(I - v3 v3^T) with v3 the
-    smallest right singular vector (inverse iteration on F^T F via the
-    closed-form 3x3 inverse — no batched SVD)."""
-    from uvipslam_tpu.core import lie
-
-    S = jnp.einsum("...ji,...jk->...ik", F, F,
-                   precision=jax.lax.Precision.HIGHEST)
-    tr = jnp.trace(S, axis1=-2, axis2=-1)[..., None, None]
-    M = lie.inv3x3(S + (1e-7 / 3.0) * tr * jnp.eye(3, dtype=F.dtype))
-    v = jnp.full(S.shape[:-2] + (3,), 1.0 / jnp.sqrt(3.0), F.dtype)
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", M, v,
-                       precision=jax.lax.Precision.HIGHEST)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-    return F - jnp.einsum("...i,...j->...ij", mv(F, v), v,
-                          precision=jax.lax.Precision.HIGHEST)
+def _solve_dlt(A: jax.Array) -> jax.Array:
+    """Null vector of each [B, m, 9] system via batched SVD."""
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    return vt[..., -1, :]
 
 
 def fundamental_from_8pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
@@ -118,7 +82,9 @@ def fundamental_from_8pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
     )  # [B, 8, 9]
     f = _solve_dlt(A)
     F = f.reshape(f.shape[:-1] + (3, 3))
-    return _rank2_project(F)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    return mm(U * S[..., None, :], Vt)
 
 
 def homography_from_4pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
@@ -143,8 +109,15 @@ def _epipolar_errors(F: jax.Array, xa: jax.Array, xb: jax.Array):
     lb = jnp.einsum("...ji,nj->...ni", F, bh, precision=_HI)      # lines in a
     num_b = jnp.einsum("...ni,ni->...n", la, bh, precision=_HI) ** 2
     num_a = jnp.einsum("...ni,ni->...n", lb, ah, precision=_HI) ** 2
-    d_b = num_b / jnp.maximum(la[..., 0] ** 2 + la[..., 1] ** 2, 1e-12)
-    d_a = num_a / jnp.maximum(lb[..., 0] ** 2 + lb[..., 1] ** 2, 1e-12)
+    den_b = la[..., 0] ** 2 + la[..., 1] ** 2
+    den_a = lb[..., 0] ** 2 + lb[..., 1] ** 2
+    # A (near-)zero F gives zero epilines: clamping the denominator would
+    # award 0 error to every point, letting a degenerate hypothesis win
+    # the argmax with a perfect score. Mark those points as gross errors
+    # instead so the hypothesis loses.
+    bad = 1e12
+    d_b = jnp.where(den_b > 1e-12, num_b / jnp.maximum(den_b, 1e-12), bad)
+    d_a = jnp.where(den_a > 1e-12, num_a / jnp.maximum(den_a, 1e-12), bad)
     return d_a, d_b
 
 
@@ -165,8 +138,10 @@ def _homography_errors(H: jax.Array, xa: jax.Array, xb: jax.Array):
 def _ransac_score(d_a, d_b, valid, th, sigma2):
     """ORB-SLAM scoring: sum over inliers of (SCORE_TH - d/sigma2) in both
     directions; inlier iff both directions under threshold."""
-    ca = d_a / sigma2
-    cb = d_b / sigma2
+    # NaNs (from a degenerate minimal sample) must reject, not poison the
+    # argmax: nan_to_num maps them to +big so the comparisons below fail.
+    ca = jnp.nan_to_num(d_a / sigma2, nan=1e12, posinf=1e12, neginf=1e12)
+    cb = jnp.nan_to_num(d_b / sigma2, nan=1e12, posinf=1e12, neginf=1e12)
     in_a = ca < th
     in_b = cb < th
     sc = jnp.where(in_a & valid[None], SCORE_TH - ca, 0.0) + jnp.where(
@@ -201,7 +176,9 @@ def find_fundamental(
         axis=-1,
     ) * w
     f = _solve_dlt(A[None])[0]
-    Fr = _rank2_project(f.reshape(3, 3))
+    Fr = f.reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(Fr)
+    Fr = mm(U * S.at[2].set(0.0)[None, :], Vt)
     Fr_full = mm(Tb.T, mm(Fr, Ta))
     d_a2, d_b2 = _epipolar_errors(Fr_full[None], xa, xb)
     score2, inlier2 = _ransac_score(d_a2, d_b2, valid, TH_F, sigma * sigma)
@@ -275,19 +252,8 @@ def triangulate_linear(
     r1a, r1b = prows(P1, x1)
     r2a, r2b = prows(P2, x2)
     A = jnp.stack([r1a, r1b, r2a, r2b], axis=-2)  # [N, 4, 4]
-    # smallest right singular vector by inverse iteration on A^T A
-    # (batched SVD serializes on TPU; this is batched matmuls)
-    from uvipslam_tpu.solver.gn import inv_spd_scaled
-
-    AtA = jnp.einsum("...mi,...mj->...ij", A, A,
-                     precision=jax.lax.Precision.HIGHEST)
-    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
-    M = inv_spd_scaled(AtA + (1e-7 / 4.0) * tr * jnp.eye(4, dtype=A.dtype))
-    Xh = jnp.full(AtA.shape[:-2] + (4,), 0.5, A.dtype)
-    for _ in range(10):
-        Xh = jnp.einsum("...ij,...j->...i", M, Xh,
-                        precision=jax.lax.Precision.HIGHEST)
-        Xh = Xh / jnp.maximum(jnp.linalg.norm(Xh, axis=-1, keepdims=True), 1e-20)
+    _, _, vt = jnp.linalg.svd(A)
+    Xh = vt[..., -1, :]
     w = Xh[..., 3]
     return Xh[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
 
@@ -353,7 +319,7 @@ def check_rt(
     # 50th-best parallax angle like the reference's vCosParallax[idx]
     par = jnp.degrees(jnp.arccos(jnp.clip(cosp, -1.0, 1.0)))
     par = jnp.where(good, par, 0.0)
-    k = 50
+    k = min(50, cosp.shape[-1])
     topk_par, _ = jax.lax.top_k(-jnp.where(good, cosp, 1.0), k)
     # parallax of min(50, n_good)-th point
     j = jnp.minimum(n_good - 1, k - 1).astype(jnp.int32)
