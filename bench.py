@@ -19,9 +19,96 @@ tunnel. A streamed (per-frame dispatch) figure is reported in `extra`.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def main_vip():
+    """`python bench.py --mode vip`: full VIP pipeline (IMU + pressure),
+    whole sequence scanned in ONE device program via the device-resident
+    VIP tracker."""
+    from uvipslam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from uvipslam_tpu.frontend.device_vip import FrameBundle, build_vip_tracker
+    from uvipslam_tpu.frontend.tracker import WORKING
+    from uvipslam_tpu.frontend.vip_tracker import VipConfig
+    from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence
+    from uvipslam_tpu.models.camera import CameraModel
+
+    N_FRAMES = 60
+    seq = make_sequence(
+        n_frames=N_FRAMES, H=512, W=640, n_points=6000, seed=7, speed=1.2,
+        gyr_noise=0.005, acc_noise=0.05, gyr_bias=(0.004, -0.006, 0.003),
+        depth_noise=0.02, z_amp=0.5,
+    )
+    cam = CameraModel.create(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2],
+        width=640, height=512,
+    )
+    cfg = VipConfig(n_tracks=400, min_init_tracks=100, local_window=8,
+                    gyr_noise_sd=0.01, acc_noise_sd=0.1, depth_noise_sd=0.05,
+                    vio_init_min_kfs=6, vio_init_min_time=1.0)
+    st0, step = build_vip_tracker(cam, cfg, kf_cap=64, pt_cap=8192)
+
+    bundles = FrameBundle(
+        img=jnp.asarray(seq.images, jnp.float32),
+        imu_omg=jnp.asarray(seq.imu_omg, jnp.float32),
+        imu_acc=jnp.asarray(seq.imu_acc, jnp.float32),
+        imu_dt=jnp.asarray(seq.imu_dt, jnp.float32),
+        imu_mask=jnp.asarray(seq.imu_mask, jnp.float32),
+        depth=jnp.asarray(seq.depth, jnp.float32),
+        depth_valid=jnp.asarray(seq.depth_valid),
+        timestamp=jnp.asarray(seq.timestamps, jnp.float32),
+    )
+
+    t_start = time.time()
+    scan_all = jax.jit(
+        lambda st, bs: jax.lax.scan(step.__wrapped__, st, bs))
+    stf, outs = scan_all(st0, bundles)
+    jax.block_until_ready(stf.tcw)
+    compile_s = time.time() - t_start
+
+    t0 = time.time()
+    stf, outs = scan_all(st0, bundles)
+    jax.block_until_ready(stf.tcw)
+    fps = N_FRAMES / (time.time() - t0)
+
+    states = np.asarray(outs.state)
+    vio = np.asarray(outs.vio_ok)
+    working = states == WORKING
+    Rs = np.asarray(outs.Rcw, np.float64)
+    ts = np.asarray(outs.tcw, np.float64)
+    C = np.stack([-Rs[i].T @ ts[i] for i in range(N_FRAMES)])
+    ate = -1.0
+    if vio.any():
+        init_f = int(np.argmax(vio))
+        sel = np.asarray([i for i in range(N_FRAMES)
+                          if i >= init_f + 3 and working[i]])
+        if len(sel) > 5:
+            ate, _ = ate_rmse(C[sel], seq.positions_w[sel], align_scale=False)
+    span = float(np.linalg.norm(seq.positions_w[-1] - seq.positions_w[0]))
+    valid = bool(working.sum() >= 0.8 * N_FRAMES and 0.0 <= ate < 0.05 * span)
+
+    print(json.dumps({
+        "metric": "VIP tracking+VI-BA fps (512x640, 400 feats, IMU+pressure)",
+        "value": round(fps, 2) if valid else 0.0,
+        "unit": "fps",
+        "vs_baseline": round(fps / 20.0, 3) if valid else 0.0,
+        "extra": {
+            "ok": valid,
+            "frames_tracked": int(working.sum()),
+            "vio_init_frame": int(np.argmax(vio)) if vio.any() else -1,
+            "n_frames": N_FRAMES,
+            "ate_metric_m": round(float(ate), 4),
+            "compile_s": round(compile_s, 1),
+        },
+    }))
 
 
 def main():
@@ -114,4 +201,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--mode" in sys.argv and "vip" in sys.argv:
+        main_vip()
+    else:
+        main()

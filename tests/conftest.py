@@ -23,3 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the e2e trackers are large programs
+# (minutes of XLA CPU compile); caching them across test processes makes
+# the full suite dramatically faster and avoids recompiling programs
+# that individual test runs already built
+from uvipslam_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(path="/root/.jax_compile_cache_cpu")
+
+# Large main-thread stack for XLA CPU compiles: handled by the early
+# pytest plugin uvip_stackfix (loaded via pyproject addopts) — it must
+# run before pytest capture, which a conftest cannot.

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests._isolate import isolated
+
 
 @pytest.fixture(autouse=True)
 def _f32_mode():
@@ -22,6 +24,7 @@ from uvipslam_tpu.models.camera import CameraModel
 
 
 @pytest.mark.slow
+@isolated
 def test_device_tracker_end_to_end():
     seq = make_sequence(n_frames=40, H=240, W=320, n_points=2500, seed=3, speed=1.2)
     cam = CameraModel.create(

@@ -96,3 +96,58 @@ def test_sim3_and_correction():
     drift_before = np.linalg.norm(est_C[9] - true_C[9])
     drift_after = np.linalg.norm(C2[9] - true_C[9])
     assert drift_after < 0.5 * drift_before, (drift_before, drift_after)
+
+
+def test_loop_closer_consistency_gating_and_correction():
+    """LoopCloser orchestration: a candidate must appear with overlapping
+    covisibility groups for `consistency_th` consecutive keyframes before
+    Sim3 verification runs, then the map is corrected and drift drops
+    (reference: mvConsistentGroups th=3, src/LoopClosing.cc:285-344)."""
+    from uvipslam_tpu.loop.closer import LoopCloser
+
+    m, true_C, est_C = build_looped_map(K=12, drift=0.4)
+    # KFs 9, 10, 11 all revisit the start: give them the revisit KF's
+    # duplicate landmark block so detection fires repeatedly with
+    # overlapping covisibility groups
+    m = dataclasses.replace(
+        m,
+        kf_feat_pt=m.kf_feat_pt.at[9].set(m.kf_feat_pt[11])
+                               .at[10].set(m.kf_feat_pt[11]),
+        kf_feat_desc=m.kf_feat_desc.at[9].set(m.kf_feat_desc[11])
+                                   .at[10].set(m.kf_feat_desc[11]),
+        kf_bow=m.kf_bow.at[9].set(m.kf_bow[11]).at[10].set(m.kf_bow[11]),
+        kf_hash=m.kf_hash.at[9].set(m.kf_hash[11]).at[10].set(m.kf_hash[11]),
+    )
+
+    lc = LoopCloser(400.0, 400.0, 320.0, 240.0,
+                    consistency_th=2, covis_th=8, min_gap=5)
+    m1, st1 = lc.process_keyframe(m, 9)
+    assert not st1["loop"], "must not close on first detection"
+    m2, st2 = lc.process_keyframe(m1, 10)
+    assert not st2["loop"], "chain length 1 < th"
+    m3, st3 = lc.process_keyframe(m2, 11)
+    assert st3["loop"], st3
+
+    drift_before = np.linalg.norm(est_C[-1] - true_C[-1])
+    C_after = np.asarray(m3.kf_ns.p[11])
+    drift_after = np.linalg.norm(C_after - true_C[-1])
+    assert drift_after < 0.6 * drift_before, (drift_before, drift_after)
+
+
+def test_stored_retrieval_vectors_match_on_demand():
+    """kf_bow/kf_hash stored at insertion must equal the on-demand
+    computation (the O(K) query optimization cannot change retrieval)."""
+    from uvipslam_tpu.loop import haloc
+    from uvipslam_tpu.loop.reloc import _codebook
+    from uvipslam_tpu.loop.vocab import bow_vector
+
+    m, _, _ = build_looped_map(K=4)
+    cb = _codebook()
+    idf = jnp.ones((cb.shape[0],), jnp.float32)
+    for k in range(4):
+        bow = bow_vector(m.kf_feat_desc[k], m.kf_feat_valid[k], cb, idf)
+        np.testing.assert_allclose(np.asarray(m.kf_bow[k]), np.asarray(bow),
+                                   atol=1e-6)
+        h = haloc.compute_hash(m.kf_feat_desc[k], m.kf_feat_valid[k])
+        np.testing.assert_allclose(np.asarray(m.kf_hash[k]), np.asarray(h),
+                                   rtol=1e-5, atol=1e-4)

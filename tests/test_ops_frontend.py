@@ -197,3 +197,46 @@ class TestKLT:
         nxt, ok = klt_track(pyr, pyr, pts, guess, jnp.ones(2, bool), win=21, iters=5, levels=3)
         ok = np.asarray(ok)
         assert ok[1]
+
+
+class TestMatcherGates:
+    def test_bow_node_mask(self):
+        from uvipslam_tpu.ops import hamming
+        wa = jnp.asarray([3, 5, 7])
+        wb = jnp.asarray([5, 3, 3, 9])
+        m = hamming.bow_node_mask(wa, wb)
+        exp = np.array([[False, True, True, False],
+                        [True, False, False, False],
+                        [False, False, False, False]])
+        np.testing.assert_array_equal(np.asarray(m), exp)
+
+    def test_epipolar_band_mask(self):
+        """Points generated on the epipolar geometry must pass the band;
+        points far off the line must fail (reference:
+        CheckDistEpipolarLine, src/ORBmatcher.cc:33)."""
+        from uvipslam_tpu.core import lie
+        from uvipslam_tpu.ops import hamming
+
+        rs = np.random.RandomState(0)
+        K = np.array([[420.0, 0, 320], [0, 420.0, 240], [0, 0, 1.0]])
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.03, -0.1, 0.02])))
+        t = np.array([0.5, 0.1, 0.05])
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        F12 = np.linalg.inv(K).T @ tx @ R @ np.linalg.inv(K)
+
+        X = np.stack([rs.uniform(-2, 2, 40), rs.uniform(-1.5, 1.5, 40),
+                      rs.uniform(3, 8, 40)], -1)
+        x1 = (K @ (X / X[:, 2:3]).T).T[:, :2]
+        X2 = X @ R.T + t
+        x2 = (K @ (X2 / X2[:, 2:3]).T).T[:, :2]
+
+        m = hamming.epipolar_band_mask(
+            jnp.asarray(F12), jnp.asarray(x1), jnp.asarray(x2), 2.0)
+        m = np.asarray(m)
+        # diagonal (true correspondences) passes
+        assert m[np.arange(40), np.arange(40)].all()
+        # shifted points (20 px off the line direction) mostly fail
+        x2_off = x2 + 20.0
+        m_off = np.asarray(hamming.epipolar_band_mask(
+            jnp.asarray(F12), jnp.asarray(x1), jnp.asarray(x2_off), 2.0))
+        assert m_off[np.arange(40), np.arange(40)].mean() < 0.3

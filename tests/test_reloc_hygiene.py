@@ -101,3 +101,34 @@ class TestHygiene:
         # the observation of 1 now points to 0
         assert int(m2.kf_feat_pt[0, 0]) == 0
         assert int(m2.kf_feat_pt[0, 1]) == 2
+
+    def test_fuse_duplicates_recent(self):
+        """The per-KF windowed fuse: a recent duplicate of an old point is
+        redirected to it; old-old pairs are untouched; recent points with
+        no old twin survive."""
+        from uvipslam_tpu.mapstate.hygiene import fuse_duplicates_recent
+
+        rs = np.random.RandomState(1)
+        m = MapState.empty(2, 16, 8)
+        d = rs.randint(0, 2, (256,)).astype(np.int8)
+        d2 = rs.randint(0, 2, (256,)).astype(np.int8)
+        m = dataclasses.replace(
+            m,
+            pt_xyz=m.pt_xyz.at[0].set(jnp.asarray([1.0, 1.0, 4.0]))    # old
+                         .at[1].set(jnp.asarray([1.002, 1.002, 4.02]))  # recent dup of 0
+                         .at[2].set(jnp.asarray([-2.0, 1.5, 5.0])),     # recent unique
+            pt_desc=m.pt_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d))
+                           .at[2].set(jnp.asarray(d2)),
+            pt_valid=m.pt_valid.at[:3].set(True),
+            pt_first_frame=m.pt_first_frame.at[0].set(0).at[1].set(95).at[2].set(96),
+        )
+        kf_feat_pt = m.kf_feat_pt.at[0, 0].set(1).at[0, 1].set(2)
+        m = dataclasses.replace(m, kf_feat_pt=kf_feat_pt)
+        m2 = fuse_duplicates_recent(
+            m, jnp.asarray(100, jnp.int32),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            400.0, 400.0, 320.0, 240.0, recent_frames=40, cap=8)
+        v = np.asarray(m2.pt_valid)
+        assert v[0] and not v[1] and v[2], v[:3]
+        assert int(m2.kf_feat_pt[0, 0]) == 0
+        assert int(m2.kf_feat_pt[0, 1]) == 2

@@ -210,3 +210,108 @@ class TestPoseOptimizationVI:
         # posterior information should be PD
         eig = np.linalg.eigvalsh(np.asarray(H_post))
         assert eig.min() > 0
+
+
+class TestPoseOptimizationVI2:
+    def test_two_state_marginalized_solve(self):
+        """Two-state frame-to-frame solve: prev state under a marginal
+        prior + both frames' reprojections + preint + depth-projected.
+        Must recover the current state and produce a PD Schur marginal."""
+        import dataclasses as dc
+
+        from uvipslam_tpu.solver.pose_opt import pose_optimization_vi2
+
+        rs = np.random.RandomState(5)
+        g_w = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+        dt_img = 0.25
+        T = 50
+        dts = jnp.full((T,), dt_img / T, jnp.float64)
+        v0 = jnp.asarray([0.4, 0.0, -0.2], jnp.float64)
+        omg = jnp.zeros((T, 3), jnp.float64)
+        acc = jnp.broadcast_to(-np.asarray(g_w), (T, 3)).astype(jnp.float64)
+        z3 = jnp.zeros(3, jnp.float64)
+        M = preintegrate(omg, acc, dts, jnp.ones(T), z3, z3, 0.01, 0.1)
+
+        ns_prev = dc.replace(NavState.identity(dtype=jnp.float64), v=v0)
+        p_true = v0 * dt_img
+        ns_true = dc.replace(ns_prev, p=p_true)
+
+        def project(ns, pts):
+            Rbw = jnp.swapaxes(ns.R, -1, -2)
+            pc = jax.vmap(lambda p: Rbw @ (p - ns.p))(pts)
+            return jnp.stack(
+                [FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1)
+
+        pts = jnp.asarray(np.stack(
+            [rs.uniform(-2, 2, 120), rs.uniform(-1.5, 1.5, 120),
+             rs.uniform(3, 8, 120)], -1))
+        uv_cur = project(ns_true, pts) + jnp.asarray(rs.randn(120, 2) * 0.3)
+
+        ns0 = dc.replace(
+            ns_prev,
+            p=ns_prev.p + ns_prev.v * dt_img + 0.5 * g_w * dt_img**2 + lie.mv(ns_prev.R, M.dP),
+            v=ns_prev.v + g_w * dt_img + lie.mv(ns_prev.R, M.dV),
+            R=lie.mm(ns_prev.R, M.dR),
+        )
+
+        ones = jnp.ones(120, jnp.float64)
+        vmask = jnp.ones(120, bool)
+        prior_info = jnp.eye(15, dtype=jnp.float64) * 1e2
+        ns_opt, inlier, n_in, H_marg = pose_optimization_vi2(
+            ns_prev, ns0, prior_info, M,
+            pts, uv_cur, vmask, ones,
+            g_w, jnp.eye(3, dtype=jnp.float64), jnp.zeros(3, jnp.float64),
+            FX, FY, CX, CY, 2.5e-9, 1e-6,
+            depth_meas=jnp.asarray(float(p_true[2]), jnp.float64),
+            depth_info=jnp.asarray(1.0 / 0.25, jnp.float64),
+            use_depth=True,
+        )
+        assert int(n_in) > 100
+        np.testing.assert_allclose(np.asarray(ns_opt.p), np.asarray(p_true), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ns_opt.v), np.asarray(v0), atol=5e-2)
+        eig = np.linalg.eigvalsh(np.asarray(H_marg))
+        assert eig.min() > 0, eig.min()
+        # the marginal must carry more position information than the bare
+        # prior (landmarks + preint + depth observed this frame)
+        assert np.trace(np.asarray(H_marg)[:3, :3]) > 3 * 1e2
+
+    def test_prior_pulls_when_vision_is_blind(self):
+        """With no current-frame reprojections, the solve must follow the
+        IMU/prior instead of diverging (the marginal prior's job)."""
+        import dataclasses as dc
+
+        from uvipslam_tpu.solver.pose_opt import pose_optimization_vi2
+
+        rs = np.random.RandomState(6)
+        g_w = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+        dt_img = 0.25
+        T = 50
+        dts = jnp.full((T,), dt_img / T, jnp.float64)
+        v0 = jnp.asarray([0.3, -0.1, 0.0], jnp.float64)
+        omg = jnp.zeros((T, 3), jnp.float64)
+        acc = jnp.broadcast_to(-np.asarray(g_w), (T, 3)).astype(jnp.float64)
+        z3 = jnp.zeros(3, jnp.float64)
+        M = preintegrate(omg, acc, dts, jnp.ones(T), z3, z3, 0.01, 0.1)
+        ns_prev = dc.replace(NavState.identity(dtype=jnp.float64), v=v0)
+        p_true = v0 * dt_img
+
+        pts = jnp.asarray(np.stack(
+            [rs.uniform(-2, 2, 60), rs.uniform(-1.5, 1.5, 60),
+             rs.uniform(3, 8, 60)], -1))
+
+        ns0 = dc.replace(
+            ns_prev,
+            p=ns_prev.p + ns_prev.v * dt_img + 0.5 * g_w * dt_img**2 + lie.mv(ns_prev.R, M.dP),
+            v=ns_prev.v + g_w * dt_img + lie.mv(ns_prev.R, M.dV),
+            R=lie.mm(ns_prev.R, M.dR),
+        )
+        ones = jnp.ones(60, jnp.float64)
+        ns_opt, _, n_in, H_marg = pose_optimization_vi2(
+            ns_prev, ns0, jnp.eye(15, dtype=jnp.float64) * 1e2, M,
+            pts, jnp.zeros((60, 2), jnp.float64), jnp.zeros(60, bool), ones,
+            g_w, jnp.eye(3, dtype=jnp.float64), jnp.zeros(3, jnp.float64),
+            FX, FY, CX, CY, 2.5e-9, 1e-6,
+            use_depth=False,
+        )
+        np.testing.assert_allclose(np.asarray(ns_opt.p), np.asarray(p_true), atol=1e-2)
+        assert np.linalg.eigvalsh(np.asarray(H_marg)).min() > 0

@@ -180,3 +180,55 @@ class TestF32Regression:
         )
         assert float(score[0]) == 0.0
         assert int(inlier[0].sum()) == 0
+
+
+class TestHomographyReconstruction:
+    def test_decompose_homography_recovers_motion(self):
+        """One of the 8 Faugeras hypotheses must match the true motion."""
+        K = jnp.asarray([[420.0, 0, 320], [0, 420.0, 240], [0, 0, 1.0]])
+        R = lie.so3_exp(jnp.asarray([0.05, -0.1, 0.04]))
+        t = jnp.asarray([0.3, 0.05, 0.02])
+        n = jnp.asarray([0.05, 0.02, -1.0])
+        n = n / jnp.linalg.norm(n)
+        d = 4.0
+        H = K @ (R + jnp.outer(t, n) / d) @ jnp.linalg.inv(K)
+        Rs, ts, _ = twoview.decompose_homography(H, K)
+        angs = [
+            float(jnp.linalg.norm(lie.so3_log(Rs[i].T @ R))) for i in range(8)
+        ]
+        best = int(np.argmin(angs))
+        assert np.degrees(angs[best]) < 0.5
+        tc = abs(float(ts[best] @ t / jnp.linalg.norm(t)))
+        assert tc > 0.999
+
+    def test_planar_scene_initializes_via_h(self):
+        """Pure planar scene: the 8-point F is degenerate (any epipole
+        fits), so the reference switches to H — initialize_two_view must
+        pick H and recover the metric motion (reference:
+        Initializer::Initialize RH>0.40 + ReconstructH)."""
+        sc = make_scene(planar=True, noise=0.2, outlier_frac=0.1, seed=4)
+        K = jnp.asarray(sc["K"])
+        rec = twoview.initialize_two_view(
+            jax.random.PRNGKey(8), jnp.asarray(sc["x1"]), jnp.asarray(sc["x2"]),
+            jnp.ones(len(sc["x1"]), bool), K,
+        )
+        assert bool(rec["used_homography"]), "planar scene must select H"
+        assert bool(rec["ok"]), (int(rec["n_good"]), float(rec["parallax"]))
+        dR = np.asarray(rec["R"]).T @ sc["R"]
+        ang = np.degrees(np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR)))))
+        assert ang < 1.0, ang
+        tdir = sc["t"] / np.linalg.norm(sc["t"])
+        assert abs(float(rec["t"] @ tdir)) > 0.995
+
+    def test_general_scene_initializes_via_f(self):
+        sc = make_scene(noise=0.2, outlier_frac=0.1, seed=5)
+        K = jnp.asarray(sc["K"])
+        rec = twoview.initialize_two_view(
+            jax.random.PRNGKey(9), jnp.asarray(sc["x1"]), jnp.asarray(sc["x2"]),
+            jnp.ones(len(sc["x1"]), bool), K,
+        )
+        assert not bool(rec["used_homography"])
+        assert bool(rec["ok"])
+        dR = np.asarray(rec["R"]).T @ sc["R"]
+        ang = np.degrees(np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR)))))
+        assert ang < 1.0, ang

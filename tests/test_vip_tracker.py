@@ -4,6 +4,8 @@ VIO init with metric scale from pressure, NavState tracking."""
 import numpy as np
 import pytest
 
+from tests._isolate import isolated
+
 
 @pytest.fixture(autouse=True)
 def _f32_mode():
@@ -19,6 +21,7 @@ from uvipslam_tpu.models.camera import CameraModel
 
 
 @pytest.mark.slow
+@isolated
 def test_vip_end_to_end_metric():
     seq = make_sequence(
         n_frames=110, H=240, W=320, n_points=4000, seed=3, speed=1.2,
@@ -74,6 +77,7 @@ def test_vip_end_to_end_metric():
 
 
 @pytest.mark.slow
+@isolated
 def test_vi_mode_init_linear():
     """Init_mode 1: pure VI — scale+gravity from the linear SVD solve,
     NO pressure channel fed at all (reference: LocalMapping.cc:182-379)."""
@@ -132,6 +136,7 @@ def test_vi_mode_init_linear():
 
 
 @pytest.mark.slow
+@isolated
 def test_vip_recovery_after_blackout():
     """Sustained visual failure in VIP mode: IMU dead-reckoning with
     pressure-z override + fresh recovery sub-map anchored at the IMU pose

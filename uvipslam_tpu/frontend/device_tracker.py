@@ -42,7 +42,7 @@ from uvipslam_tpu.mapstate.map import MapState
 from uvipslam_tpu.models.camera import CameraModel
 from uvipslam_tpu.ops.clahe import clahe
 from uvipslam_tpu.ops.klt import build_flow_pyramid
-from uvipslam_tpu.ops.twoview import find_fundamental, reconstruct_from_fundamental
+from uvipslam_tpu.ops.twoview import initialize_two_view
 
 RING = 64
 
@@ -148,8 +148,9 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
         t = undistort(st.tracks)
         key, sub = jax.random.split(st.key)
         cand = t.valid & (t.birth_frame == st.init_frame_id)
-        F, score, inl = find_fundamental(sub, t.birth_xy_und, t.xy_und, cand, sigma=1.0)
-        rec = reconstruct_from_fundamental(F, cam.K, t.birth_xy_und, t.xy_und, inl)
+        # parallel H/F model selection (reference: Initializer::Initialize)
+        rec = initialize_two_view(sub, t.birth_xy_und, t.xy_und, cand, cam.K,
+                                  sigma=1.0)
         enough = jnp.sum(cand) >= cfg.min_init_tracks // 2
         ok = rec["ok"] & enough
 

@@ -1,0 +1,844 @@
+"""Fully device-resident VIP tracker: ONE jitted step per frame bundle.
+
+The VIP analog of device_tracker.py — the complete per-frame
+visual-inertial-pressure pipeline (reference: src/Tracking.cc:404-860 +
+the LocalMapping VIO-init/BA stages it depends on) as a single
+`step(state, bundle)` with `lax.switch`/`lax.cond` control flow:
+
+  * mono bootstrap (NOT_INITIALIZED -> INITIALIZING -> WORKING) with
+    parallel H/F model selection, while accumulating IMU/pressure;
+  * on-device TryInitVIO trigger after enough keyframes/time: gyro-bias
+    GN, re-preintegration of all KF IMU windows, gravity from the
+    accelerometer average, metric scale from pressure (the paper's
+    method, Init_mode 2), world Sim3 re-anchor + velocity recovery
+    (reference: src/LocalMapping.cc:89-709);
+  * VI(P) tracking: IMU NavState prediction, two-state marginalized
+    pose solve with the depth-projected pressure factor, VI window BA
+    at keyframes (reference: src/Tracking.cc:1081-1197,
+    src/Optimizer.cc:319-777,1105-1732);
+  * sustained-failure recovery: IMU dead-reckoning with pressure-z
+    override + fresh two-view sub-map re-anchor (reference:
+    src/Tracking.cc:594-613,1529-1834).
+
+Host streams bundles one call at a time or `lax.scan`s whole sequences
+(the bench path). Equivalence with the host-orchestrated VipTracker is
+enforced by test (tests/test_device_vip.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from uvipslam_tpu.core import lie
+from uvipslam_tpu.core.lie import mm, mv
+from uvipslam_tpu.core.preintegration import (
+    PreintState,
+    preintegrate,
+    preintegrate_continue,
+)
+from uvipslam_tpu.core.state import NavState
+from uvipslam_tpu.frontend import tracker as HT
+from uvipslam_tpu.frontend.frame import (
+    Tracks,
+    propagate_tracks,
+    refill_tracks,
+    refresh_descriptors,
+)
+from uvipslam_tpu.frontend.tracker import (
+    INITIALIZING,
+    IMU_RELOC,
+    LOST,
+    NOT_INITIALIZED,
+    WORKING,
+    _cam_pose_to_ns,
+    _local_ba_jit,
+    _motion_guess_jit,
+    _ns_to_cam_pose,
+    _pose_and_localmap_jit,
+    _triangulate_new_jit,
+)
+from uvipslam_tpu.frontend.vip_tracker import VipConfig, _vi_ba_jit, _vi_track_jit
+from uvipslam_tpu.mapstate.map import MapState
+from uvipslam_tpu.models.camera import CameraModel
+from uvipslam_tpu.ops.clahe import clahe
+from uvipslam_tpu.ops.klt import build_flow_pyramid
+from uvipslam_tpu.ops.twoview import initialize_two_view
+from uvipslam_tpu.vio import init as vio_init
+
+RING = 64
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VipTrackerState:
+    # --- visual core (mirrors device_tracker.TrackerState) --------------
+    tracks: Tracks
+    map: MapState
+    pyr_prev: tuple
+    state: jax.Array
+    frame_id: jax.Array
+    Rcw: jax.Array
+    tcw: jax.Array
+    R_vel: jax.Array
+    t_vel: jax.Array
+    ring_R: jax.Array
+    ring_t: jax.Array
+    ring_frame: jax.Array
+    init_frame_id: jax.Array
+    last_kf_slot: jax.Array
+    last_kf_frame: jax.Array
+    n_ref_tracked: jax.Array
+    key: jax.Array
+    # --- inertial/pressure layers ---------------------------------------
+    vio_ok: jax.Array            # bool
+    ns: NavState                 # current body posterior
+    H_prior: jax.Array           # [15, 15] frame-to-frame marginal info
+    preint_kf: PreintState       # accumulated since last KF (zero bias)
+    kf_omg: jax.Array            # [S, 3] raw IMU window since last KF
+    kf_acc: jax.Array            # [S, 3]
+    kf_dt: jax.Array             # [S]
+    kf_mask: jax.Array           # [S]
+    kf_n: jax.Array              # i32 fill level
+    accw_sum: jax.Array          # [3] world-frame specific-force sum
+    frame_time: jax.Array        # f32
+    # --- recovery anchor -------------------------------------------------
+    rec_ns: NavState
+    rec_frame: jax.Array         # i32 (-1 = none)
+    rec_time: jax.Array
+    rec_depth: jax.Array
+    rec_depth_valid: jax.Array
+    rec_preint: PreintState
+    rec_omg: jax.Array
+    rec_acc: jax.Array
+    rec_dt: jax.Array
+    rec_mask: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameBundle:
+    """One frame's sensor bundle (fixed IMU window size, mask-padded)."""
+    img: jax.Array          # [H, W]
+    imu_omg: jax.Array      # [Simu, 3]
+    imu_acc: jax.Array      # [Simu, 3]
+    imu_dt: jax.Array       # [Simu]
+    imu_mask: jax.Array     # [Simu]
+    depth: jax.Array        # scalar
+    depth_valid: jax.Array  # scalar bool
+    timestamp: jax.Array    # scalar f32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VipStepOut:
+    Rcw: jax.Array
+    tcw: jax.Array
+    p_w: jax.Array
+    state: jax.Array
+    vio_ok: jax.Array
+
+
+def init_vip_state(cfg: VipConfig, kf_cap: int, pt_cap: int,
+                   height: int, width: int, seed: int = 0) -> VipTrackerState:
+    zero_img = jnp.zeros((height, width), jnp.float32)
+    pyr = tuple(build_flow_pyramid(zero_img, cfg.n_levels_klt))
+    S = cfg.imu_cap_per_kf
+    zp = PreintState.zero(dtype=jnp.float32)
+    return VipTrackerState(
+        tracks=Tracks.empty(cfg.n_tracks),
+        map=MapState.empty(kf_cap, pt_cap, cfg.n_tracks, imu_window=S),
+        pyr_prev=pyr,
+        state=jnp.asarray(NOT_INITIALIZED, jnp.int32),
+        frame_id=jnp.asarray(-1, jnp.int32),
+        Rcw=jnp.eye(3, dtype=jnp.float32), tcw=jnp.zeros(3, jnp.float32),
+        R_vel=jnp.eye(3, dtype=jnp.float32), t_vel=jnp.zeros(3, jnp.float32),
+        ring_R=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (RING, 1, 1)),
+        ring_t=jnp.zeros((RING, 3), jnp.float32),
+        ring_frame=jnp.full((RING,), -1, jnp.int32),
+        init_frame_id=jnp.asarray(-1, jnp.int32),
+        last_kf_slot=jnp.asarray(-1, jnp.int32),
+        last_kf_frame=jnp.asarray(-1, jnp.int32),
+        n_ref_tracked=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(seed),
+        vio_ok=jnp.asarray(False),
+        ns=NavState.identity(dtype=jnp.float32),
+        H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+        preint_kf=zp,
+        kf_omg=jnp.zeros((S, 3), jnp.float32),
+        kf_acc=jnp.zeros((S, 3), jnp.float32),
+        kf_dt=jnp.zeros((S,), jnp.float32),
+        kf_mask=jnp.zeros((S,), jnp.float32),
+        kf_n=jnp.asarray(0, jnp.int32),
+        accw_sum=jnp.zeros(3, jnp.float32),
+        frame_time=jnp.asarray(0.0, jnp.float32),
+        rec_ns=NavState.identity(dtype=jnp.float32),
+        rec_frame=jnp.asarray(-1, jnp.int32),
+        rec_time=jnp.asarray(0.0, jnp.float32),
+        rec_depth=jnp.asarray(0.0, jnp.float32),
+        rec_depth_valid=jnp.asarray(False),
+        rec_preint=zp,
+        rec_omg=jnp.zeros((S, 3), jnp.float32),
+        rec_acc=jnp.zeros((S, 3), jnp.float32),
+        rec_dt=jnp.zeros((S,), jnp.float32),
+        rec_mask=jnp.zeros((S,), jnp.float32),
+    )
+
+
+def _zero_kf_accumulators(st: VipTrackerState) -> VipTrackerState:
+    S = st.kf_dt.shape[0]
+    return dataclasses.replace(
+        st,
+        preint_kf=PreintState.zero(dtype=jnp.float32),
+        kf_omg=jnp.zeros((S, 3), jnp.float32),
+        kf_acc=jnp.zeros((S, 3), jnp.float32),
+        kf_dt=jnp.zeros((S,), jnp.float32),
+        kf_mask=jnp.zeros((S,), jnp.float32),
+        kf_n=jnp.asarray(0, jnp.int32),
+    )
+
+
+def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
+                      kf_cap: int, pt_cap: int):
+    """Returns (state0, step) with step = jit((state, bundle) ->
+    (state, VipStepOut))."""
+    scale_sigmas = jnp.asarray(cfg.scale_sigmas, jnp.float32)
+    gravity_w = jnp.asarray(cfg.gravity, jnp.float32)
+    depth_info_cfg = jnp.asarray(1.0 / cfg.depth_noise_sd ** 2, jnp.float32)
+
+    def undistort(tracks: Tracks) -> Tracks:
+        return dataclasses.replace(tracks, xy_und=cam.undistort_pixels(tracks.xy))
+
+    def refresh_birth(tracks: Tracks, frame_id) -> Tracks:
+        newborn = tracks.birth_frame == frame_id
+        return dataclasses.replace(
+            tracks,
+            birth_xy_und=jnp.where(newborn[:, None], tracks.xy_und,
+                                   tracks.birth_xy_und),
+        )
+
+    def run_mono_ba(m: MapState) -> MapState:
+        kf_idx = jnp.arange(m.kf_cap)
+        in_window = (kf_idx >= m.n_kf - cfg.local_window) & (kf_idx < m.n_kf)
+        fixed = m.kf_valid & ~in_window
+        fixed = fixed.at[0].set(True)
+        fixed = fixed.at[1].set(m.kf_valid[1])
+        return _local_ba_jit(m, fixed, cam.fx, cam.fy, cam.cx, cam.cy,
+                             scale_sigmas)
+
+    def run_vi_ba(m: MapState) -> MapState:
+        return _vi_ba_jit(m, gravity_w, cam.fx, cam.fy, cam.cx, cam.cy,
+                          scale_sigmas, cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
+                          depth_info_cfg)
+
+    # ------------------------------------------------------------------
+    # mono bootstrap branches (device_tracker semantics + IMU accumulation)
+    # ------------------------------------------------------------------
+    def branch_not_initialized(st: VipTrackerState, b: FrameBundle):
+        tracks = refill_tracks(st.tracks, b.img, st.frame_id,
+                               n_features=cfg.n_tracks,
+                               px_distance=cfg.px_distance)
+        tracks = undistort(tracks)
+        n = jnp.sum(tracks.valid)
+        go = n >= cfg.min_init_tracks
+        tracks = dataclasses.replace(
+            tracks,
+            birth_frame=jnp.where(go, jnp.full_like(tracks.birth_frame, st.frame_id),
+                                  tracks.birth_frame),
+            birth_xy_und=jnp.where(go, tracks.xy_und, tracks.birth_xy_und),
+        )
+        st = dataclasses.replace(
+            st, tracks=tracks,
+            state=jnp.where(go, INITIALIZING, NOT_INITIALIZED).astype(jnp.int32),
+            init_frame_id=jnp.where(go, st.frame_id, st.init_frame_id),
+        )
+        return _zero_kf_accumulators(st)
+
+    def branch_initializing(st: VipTrackerState, b: FrameBundle):
+        t = undistort(st.tracks)
+        key, sub = jax.random.split(st.key)
+        cand = t.valid & (t.birth_frame == st.init_frame_id)
+        rec = initialize_two_view(sub, t.birth_xy_und, t.xy_und, cand, cam.K,
+                                  sigma=1.0)
+        enough = jnp.sum(cand) >= cfg.min_init_tracks // 2
+        ok = rec["ok"] & enough
+
+        def commit(op):
+            st, t, rec, b = op
+            good = rec["good"]
+            z = rec["points"][:, 2]
+            med = jnp.nan_to_num(jnp.nanmedian(jnp.where(good, z, jnp.nan)), nan=1.0)
+            scale = 1.0 / jnp.maximum(med, 1e-6)
+            pts3 = rec["points"] * scale
+            R, tvec = rec["R"], rec["t"] * scale
+
+            m = st.map
+            ns0 = _cam_pose_to_ns(jnp.eye(3, dtype=jnp.float32),
+                                  jnp.zeros(3, jnp.float32))
+            ns1 = _cam_pose_to_ns(R, tvec)
+            normals = pts3 / jnp.maximum(
+                jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9)
+            dist = jnp.linalg.norm(pts3, axis=-1)
+            m, ids = m.add_points(pts3, t.desc, normals, dist / 2.0, dist * 2.0,
+                                  jnp.asarray(0), st.frame_id, good)
+            feat_pt = jnp.where(good, ids, -1)
+            zp = PreintState.zero(dtype=jnp.float32)
+            m, k0 = m.add_keyframe(
+                ns0, st.frame_time, st.init_frame_id,
+                t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+                jnp.asarray(0.0), jnp.asarray(False), zp, jnp.asarray(-1),
+            )
+            m, k1 = m.add_keyframe(
+                ns1, st.frame_time, st.frame_id,
+                t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+                b.depth, b.depth_valid, zp, k0,
+            )
+            m = run_mono_ba(m)
+            t2 = dataclasses.replace(t, pt_id=jnp.where(good, feat_pt, -1))
+            ns1n = jax.tree_util.tree_map(lambda a: a[1], m.kf_ns)
+            Rcw, tcw = _ns_to_cam_pose(ns1n)
+            ring_R = st.ring_R.at[st.init_frame_id % RING].set(
+                jnp.eye(3, dtype=jnp.float32))
+            ring_t = st.ring_t.at[st.init_frame_id % RING].set(
+                jnp.zeros(3, jnp.float32))
+            ring_f = st.ring_frame.at[st.init_frame_id % RING].set(st.init_frame_id)
+            st = dataclasses.replace(
+                st, tracks=t2, map=m, Rcw=Rcw, tcw=tcw,
+                R_vel=jnp.eye(3), t_vel=jnp.zeros(3),
+                ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
+                last_kf_slot=k1.astype(jnp.int32), last_kf_frame=st.frame_id,
+                n_ref_tracked=jnp.sum(good).astype(jnp.int32),
+                state=jnp.asarray(WORKING, jnp.int32),
+            )
+            return _zero_kf_accumulators(st)
+
+        def keep(op):
+            st, t, rec, b = op
+            n = jnp.sum(t.valid & (t.birth_frame == st.init_frame_id))
+            stale = (n < cfg.min_init_tracks // 2) | (
+                st.frame_id - st.init_frame_id > 30)
+            return dataclasses.replace(
+                st, tracks=t,
+                state=jnp.where(stale, NOT_INITIALIZED, INITIALIZING).astype(jnp.int32),
+            )
+
+        st2 = jax.lax.cond(ok, commit, keep, (st, t, rec, b))
+        return dataclasses.replace(st2, key=key)
+
+    # ------------------------------------------------------------------
+    # on-device TryInitVIO (reference: src/LocalMapping.cc:89-709;
+    # Init_mode 2 — the paper's pressure-scale method)
+    # ------------------------------------------------------------------
+    def try_init_vio(st: VipTrackerState) -> VipTrackerState:
+        from uvipslam_tpu.solver.global_ba import global_ba_visual
+
+        # 0. full-map visual BA first: windowed BA lets mono scale drift
+        # across the init window, breaking the init solves (see
+        # vip_tracker._maybe_init_vio)
+        m = global_ba_visual(st.map, cam.fx, cam.fy, cam.cx, cam.cy,
+                             scale_sigmas)
+        # 1. gyro bias over consecutive KF pairs
+        pair_mask = m.kf_valid & (m.kf_prev >= 0)
+        bg = vio_init.estimate_gyro_bias(
+            m.kf_ns.R, m.kf_preint.dR, m.kf_preint.J_R_bg, pair_mask)
+
+        # 2. re-integrate all KF windows with the bias
+        z3 = jnp.zeros(3, jnp.float32)
+        pre2 = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, bg, z3, cfg.gyr_noise_sd, cfg.acc_noise_sd)
+        )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
+
+        has_depth = m.kf_valid & m.kf_depth_valid
+        g_cfg_dir = gravity_w / jnp.maximum(jnp.linalg.norm(gravity_w), 1e-9)
+
+        # 3. gravity direction from the accelerometer average (world frame)
+        ghat = st.accw_sum / jnp.maximum(jnp.linalg.norm(st.accw_sum), 1e-9)
+        g_dir_vision = -ghat
+        v = jnp.cross(g_dir_vision, g_cfg_dir)
+        sn = jnp.linalg.norm(v)
+        cs = jnp.dot(g_dir_vision, g_cfg_dir)
+        axis = v / jnp.where(sn < 1e-9, 1.0, sn)
+        R_align = lie.so3_exp(axis * jnp.arctan2(sn, cs))
+
+        # 4. metric scale from pressure on gravity-aligned z
+        z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
+        s_gn, _ = vio_init.estimate_scale_from_pressure(
+            z_aligned, m.kf_depth, has_depth)
+        ok = jnp.isfinite(s_gn) & (s_gn > 1e-3) & (jnp.sum(has_depth) >= 3)
+        s = jnp.where(ok, s_gn, 1.0)
+
+        # 5. world Sim3: x' = s R_align x on every world-frame quantity
+        kf_ns = dataclasses.replace(
+            m.kf_ns,
+            p=s * mv(R_align, m.kf_ns.p),
+            v=s * mv(R_align, m.kf_ns.v),
+            R=mm(jnp.broadcast_to(R_align, m.kf_ns.R.shape), m.kf_ns.R),
+        )
+        pt_xyz = s * mv(R_align, m.pt_xyz)
+
+        # depth-anchor offset: world z == pressure depth
+        z_now = kf_ns.p[:, 2]
+        n_dep = jnp.sum(has_depth)
+        off = jnp.sum(jnp.where(has_depth, m.kf_depth - z_now, 0.0)) / \
+            jnp.maximum(n_dep, 1)
+        p_shift = kf_ns.p.at[:, 2].add(jnp.where(m.kf_valid, off, 0.0))
+        pts_shift = pt_xyz.at[:, 2].add(jnp.where(m.pt_valid, off, 0.0))
+
+        # 6. velocities + biases
+        kf_ns = dataclasses.replace(
+            kf_ns, p=p_shift,
+            bg=jnp.broadcast_to(bg, kf_ns.bg.shape),
+            ba=jnp.zeros_like(kf_ns.ba),
+        )
+        vel = vio_init.velocities_from_positions(
+            kf_ns.p, kf_ns.R, pre2.dP, pre2.dt, gravity_w, m.kf_valid)
+        k_last = jnp.maximum(m.n_kf - 1, 0)
+        k_prev = jnp.maximum(k_last - 1, 0)
+        vel = vel.at[k_last].set(vel[k_prev])
+        kf_ns = dataclasses.replace(kf_ns, v=vel)
+        m2 = dataclasses.replace(m, kf_ns=kf_ns, pt_xyz=pts_shift,
+                                 kf_preint=pre2)
+
+        ns_new = jax.tree_util.tree_map(lambda a: a[k_last], m2.kf_ns)
+        Rcw2, tcw2 = _ns_to_cam_pose(ns_new)
+        ring_R2 = mm(st.ring_R, jnp.swapaxes(R_align, -1, -2)[None])
+        ring_t2 = s * st.ring_t  # ring z-offset skipped: ring is only a
+        # triangulation seed and re-fills within a few frames
+
+        st_ok = dataclasses.replace(
+            st, map=m2, ns=ns_new, Rcw=Rcw2, tcw=tcw2,
+            R_vel=jnp.eye(3, dtype=jnp.float32),
+            t_vel=jnp.zeros(3, jnp.float32),
+            ring_R=ring_R2, ring_t=ring_t2,
+            vio_ok=jnp.asarray(True),
+            H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(ok, a, b_), st_ok, st)
+
+    # ------------------------------------------------------------------
+    # WORKING branch, mono form (pre-VIO-init)
+    # ------------------------------------------------------------------
+    def mono_working(st: VipTrackerState, b: FrameBundle):
+        t = undistort(st.tracks)
+        Rp = mm(st.R_vel, st.Rcw)
+        tp = mv(st.R_vel, st.tcw) + st.t_vel
+        R1, t1, inlier1, n_in, t2 = _pose_and_localmap_jit(
+            t, st.map, Rp, tp, cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas)
+
+        def lost(op):
+            st, *_ = op
+            return dataclasses.replace(st, state=jnp.asarray(LOST, jnp.int32))
+
+        def keep_working(op):
+            st, t2, R1, t1, n_in, b = op
+            R_prev, t_prev = st.Rcw, st.tcw
+            Rcw = lie.normalize_rotation(R1)
+            Rinv, tinv = lie.se3_inverse(R_prev, t_prev)
+            R_vel, t_vel = lie.se3_compose(R1, t1, Rinv, tinv)
+            R_vel = lie.normalize_rotation(R_vel)
+
+            tracks = refill_tracks(t2, b.img, st.frame_id,
+                                   n_features=cfg.n_tracks,
+                                   px_distance=cfg.px_distance)
+            tracks = refresh_descriptors(tracks, b.img)
+            tracks = undistort(tracks)
+            tracks = refresh_birth(tracks, st.frame_id)
+            st = dataclasses.replace(st, tracks=tracks, Rcw=Rcw, tcw=t1,
+                                     R_vel=R_vel, t_vel=t_vel)
+
+            since = st.frame_id - st.last_kf_frame
+            need_kf = (since >= cfg.kf_min_interval) & (
+                (since >= cfg.kf_max_interval)
+                | (n_in < cfg.kf_track_ratio * jnp.maximum(st.n_ref_tracked, 1))
+            )
+
+            def create_kf(st):
+                t = st.tracks
+                m, t = _triangulate_new_jit(
+                    st.map, t, st.ring_R, st.ring_t, st.ring_frame,
+                    st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
+                    st.frame_id, st.last_kf_slot,
+                )
+                ns = _cam_pose_to_ns(st.Rcw, st.tcw)
+                m, k = m.add_keyframe(
+                    ns, st.frame_time, st.frame_id,
+                    t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
+                    b.depth, b.depth_valid, st.preint_kf, st.last_kf_slot,
+                    imu_omg=st.kf_omg, imu_acc=st.kf_acc,
+                    imu_dt=st.kf_dt, imu_mask=st.kf_mask,
+                )
+                m = run_mono_ba(m)
+                ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
+                Rcw, tcw = _ns_to_cam_pose(ns_k)
+                st = dataclasses.replace(
+                    st, tracks=t, map=m, Rcw=Rcw, tcw=tcw,
+                    last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
+                    n_ref_tracked=jnp.sum(t.valid & (t.pt_id >= 0)).astype(jnp.int32),
+                )
+                st = _zero_kf_accumulators(st)
+                # VIO init trigger (reference: TryInitVIO every mapper
+                # cycle until success, src/LocalMapping.cc:819-842)
+                lo = jnp.maximum(m.n_kf - 1, 0)
+                t_span = m.kf_time[lo] - m.kf_time[0]
+                trigger = (~st.vio_ok
+                           & (m.n_kf >= cfg.vio_init_min_kfs)
+                           & (t_span >= cfg.vio_init_min_time))
+                return jax.lax.cond(trigger, try_init_vio, lambda s: s, st)
+
+            return jax.lax.cond(need_kf, create_kf, lambda s: s, st)
+
+        return jax.lax.cond(
+            n_in < cfg.min_tracked, lost, keep_working,
+            (st, t2, R1, t1, n_in, b),
+        )
+
+    # ------------------------------------------------------------------
+    # WORKING branch, VI(P) form (post-init)
+    # ------------------------------------------------------------------
+    def vi_working(st: VipTrackerState, b: FrameBundle, pre_frame: PreintState):
+        t = undistort(st.tracks)
+        depth_info = jnp.where(b.depth_valid, depth_info_cfg, 0.0)
+
+        g = gravity_w
+        dt = pre_frame.dt
+        ns_pred = dataclasses.replace(
+            st.ns,
+            p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + mv(st.ns.R, pre_frame.dP),
+            v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
+            R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
+        )
+
+        ns_opt, inlier, n_in, tracks2, H_post = _vi_track_jit(
+            t, st.map, ns_pred, st.ns, pre_frame, gravity_w,
+            cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
+            cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
+            b.depth, depth_info, st.H_prior,
+        )
+
+        def to_recovery(op):
+            st, ns_pred, b = op
+            # pressure-z override on the dead-reckoned state
+            p_over = jnp.where(
+                b.depth_valid, ns_pred.p.at[2].set(b.depth), ns_pred.p)
+            ns_dr = dataclasses.replace(ns_pred, p=p_over)
+            Rcw, tcw = _ns_to_cam_pose(ns_dr)
+            st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
+            return enter_recovery(st, b)
+
+        def keep_working(op):
+            st, _, b = op
+            tr = H_post.trace() / 15.0
+            H_new = (H_post + jnp.eye(15, dtype=jnp.float32) * 1e-3) * \
+                jnp.minimum(1.0, 1e6 / jnp.maximum(tr, 1e-6))
+            Rcw, tcw = _ns_to_cam_pose(ns_opt)
+            tracks = refill_tracks(tracks2, b.img, st.frame_id,
+                                   n_features=cfg.n_tracks,
+                                   px_distance=cfg.px_distance)
+            tracks = refresh_descriptors(tracks, b.img)
+            tracks = undistort(tracks)
+            tracks = refresh_birth(tracks, st.frame_id)
+            st = dataclasses.replace(st, tracks=tracks, ns=ns_opt,
+                                     Rcw=Rcw, tcw=tcw, H_prior=H_new)
+
+            since = st.frame_id - st.last_kf_frame
+            need_kf = (since >= cfg.kf_min_interval) & (
+                (since >= cfg.kf_max_interval)
+                | (n_in < cfg.kf_track_ratio * jnp.maximum(st.n_ref_tracked, 1))
+            )
+
+            def create_kf(st):
+                t = st.tracks
+                m, t = _triangulate_new_jit(
+                    st.map, t, st.ring_R, st.ring_t, st.ring_frame,
+                    st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
+                    st.frame_id, st.last_kf_slot,
+                )
+                # re-integrate the window at the current bias
+                # linearization point (see vip_tracker._create_keyframe)
+                pre_store = preintegrate(
+                    st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
+                    st.ns.bg, st.ns.ba,
+                    cfg.gyr_noise_sd, cfg.acc_noise_sd,
+                )
+                m, k = m.add_keyframe(
+                    st.ns, st.frame_time, st.frame_id,
+                    t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
+                    b.depth, b.depth_valid, pre_store, st.last_kf_slot,
+                    imu_omg=st.kf_omg, imu_acc=st.kf_acc,
+                    imu_dt=st.kf_dt, imu_mask=st.kf_mask,
+                )
+                m = run_vi_ba(m)
+                ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
+                Rcw, tcw = _ns_to_cam_pose(ns_k)
+                st = dataclasses.replace(
+                    st, tracks=t, map=m, ns=ns_k, Rcw=Rcw, tcw=tcw,
+                    last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
+                    n_ref_tracked=jnp.sum(t.valid & (t.pt_id >= 0)).astype(jnp.int32),
+                    H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+                )
+                return _zero_kf_accumulators(st)
+
+            return jax.lax.cond(need_kf, create_kf, lambda s: s, st)
+
+        return jax.lax.cond(n_in < cfg.min_tracked, to_recovery, keep_working,
+                            (st, ns_pred, b))
+
+    def branch_working(st: VipTrackerState, b: FrameBundle,
+                       pre_frame: PreintState):
+        return jax.lax.cond(
+            st.vio_ok,
+            lambda op: vi_working(*op),
+            lambda op: mono_working(op[0], op[1]),
+            (st, b, pre_frame),
+        )
+
+    # ------------------------------------------------------------------
+    # sustained-failure recovery (reference: src/Tracking.cc:594-613,
+    # 1529-1834 — IMU dead-reckoning + fresh sub-map re-anchor)
+    # ------------------------------------------------------------------
+    def enter_recovery(st: VipTrackerState, b: FrameBundle) -> VipTrackerState:
+        t = refill_tracks(Tracks.empty(cfg.n_tracks), b.img, st.frame_id,
+                          n_features=cfg.n_tracks, px_distance=cfg.px_distance)
+        t = undistort(t)
+        t = dataclasses.replace(
+            t,
+            birth_frame=jnp.full_like(t.birth_frame, st.frame_id),
+            birth_xy_und=t.xy_und,
+        )
+        st = dataclasses.replace(
+            st, tracks=t,
+            state=jnp.asarray(IMU_RELOC, jnp.int32),
+            rec_ns=st.ns, rec_frame=st.frame_id, rec_time=st.frame_time,
+            rec_depth=b.depth, rec_depth_valid=b.depth_valid,
+            rec_preint=st.preint_kf,
+            rec_omg=st.kf_omg, rec_acc=st.kf_acc,
+            rec_dt=st.kf_dt, rec_mask=st.kf_mask,
+            H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+        )
+        return _zero_kf_accumulators(st)
+
+    def branch_recovery(st: VipTrackerState, b: FrameBundle,
+                        pre_frame: PreintState):
+        # dead-reckon + pressure-z override
+        g = gravity_w
+        dt = pre_frame.dt
+        ns_pred = dataclasses.replace(
+            st.ns,
+            p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + mv(st.ns.R, pre_frame.dP),
+            v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
+            R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
+        )
+        p_over = jnp.where(b.depth_valid, ns_pred.p.at[2].set(b.depth),
+                           ns_pred.p)
+        ns_dr = dataclasses.replace(ns_pred, p=p_over)
+        Rcw, tcw = _ns_to_cam_pose(ns_dr)
+        st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
+
+        t = undistort(st.tracks)
+        st = dataclasses.replace(st, tracks=t)
+
+        since = st.frame_id - st.rec_frame
+        n_live = jnp.sum(t.valid)
+        stale = (since >= cfg.recovery_max_frames) | (
+            n_live < cfg.min_init_tracks // 2)
+
+        Ra, ta = _ns_to_cam_pose(st.rec_ns)
+        R_rel_imu = mm(Rcw, jnp.swapaxes(Ra, -1, -2))
+        t_rel_imu = tcw - mv(R_rel_imu, ta)
+        baseline = jnp.linalg.norm(t_rel_imu)
+
+        key, sub = jax.random.split(st.key)
+        st = dataclasses.replace(st, key=key)
+        cand = t.valid & (t.birth_frame == st.rec_frame)
+        rec = initialize_two_view(sub, t.birth_xy_und, t.xy_und, cand, cam.K,
+                                  sigma=1.0)
+        try_ok = (~stale & (since >= cfg.recovery_min_frames)
+                  & (baseline >= cfg.recovery_min_baseline) & rec["ok"])
+
+        def commit(op):
+            st, t, rec, b = op
+            good = rec["good"]
+            s = baseline
+            pts_c = rec["points"] * s
+            Raw = jnp.swapaxes(Ra, -1, -2)
+            pts_w = mv(Raw, pts_c - ta)
+            R1 = mm(rec["R"], Ra)
+            t1 = rec["t"] * s + mv(rec["R"], ta)
+
+            m = st.map
+            k0_slot = m.n_kf
+            normals = pts_w - mv(Raw, -ta)
+            dist = jnp.linalg.norm(normals, axis=-1)
+            normals = normals / jnp.maximum(dist[:, None], 1e-9)
+            m, ids = m.add_points(pts_w, t.desc, normals, dist / 2.0,
+                                  dist * 2.0, k0_slot, st.frame_id, good)
+            feat_pt = jnp.where(good, ids, -1)
+            # re-integrate both stored windows at the current bias
+            # linearization point (see vip_tracker._create_keyframe)
+            pre_anchor = preintegrate(
+                st.rec_omg, st.rec_acc, st.rec_dt, st.rec_mask,
+                st.ns.bg, st.ns.ba, cfg.gyr_noise_sd, cfg.acc_noise_sd,
+            )
+            pre_cur = preintegrate(
+                st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
+                st.ns.bg, st.ns.ba, cfg.gyr_noise_sd, cfg.acc_noise_sd,
+            )
+            m, k0 = m.add_keyframe(
+                st.rec_ns, st.rec_time, st.rec_frame,
+                t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+                st.rec_depth, st.rec_depth_valid, pre_anchor,
+                st.last_kf_slot,
+                imu_omg=st.rec_omg, imu_acc=st.rec_acc,
+                imu_dt=st.rec_dt, imu_mask=st.rec_mask,
+            )
+            ns_cur = dataclasses.replace(
+                _cam_pose_to_ns(R1, t1), v=st.ns.v, bg=st.ns.bg,
+                ba=st.ns.ba, dbg=st.ns.dbg, dba=st.ns.dba,
+            )
+            m, k1 = m.add_keyframe(
+                ns_cur, st.frame_time, st.frame_id,
+                t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
+                b.depth, b.depth_valid, pre_cur, k0,
+                imu_omg=st.kf_omg, imu_acc=st.kf_acc,
+                imu_dt=st.kf_dt, imu_mask=st.kf_mask,
+            )
+            m = run_vi_ba(m)
+            ns_k = jax.tree_util.tree_map(lambda a: a[k1], m.kf_ns)
+            Rcw1, tcw1 = _ns_to_cam_pose(ns_k)
+            ring_R = st.ring_R.at[st.rec_frame % RING].set(Ra)
+            ring_t = st.ring_t.at[st.rec_frame % RING].set(ta)
+            ring_f = st.ring_frame.at[st.rec_frame % RING].set(st.rec_frame)
+            ring_R = ring_R.at[st.frame_id % RING].set(Rcw1)
+            ring_t = ring_t.at[st.frame_id % RING].set(tcw1)
+            ring_f = ring_f.at[st.frame_id % RING].set(st.frame_id)
+            st = dataclasses.replace(
+                st, map=m, ns=ns_k, Rcw=Rcw1, tcw=tcw1,
+                tracks=dataclasses.replace(t, pt_id=feat_pt),
+                last_kf_slot=k1.astype(jnp.int32), last_kf_frame=st.frame_id,
+                n_ref_tracked=jnp.sum(good).astype(jnp.int32),
+                ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
+                state=jnp.asarray(WORKING, jnp.int32),
+                H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+            )
+            return _zero_kf_accumulators(st)
+
+        def no_commit(op):
+            st, t, rec, b = op
+            return jax.lax.cond(stale, enter_recovery, lambda s, _b: s, st, b)
+
+        return jax.lax.cond(try_ok, commit, no_commit, (st, t, rec, b))
+
+    # ------------------------------------------------------------------
+    def branch_lost(st: VipTrackerState, b: FrameBundle, pre_frame):
+        return st
+
+    # ------------------------------------------------------------------
+    def step(st: VipTrackerState, b: FrameBundle):
+        img = b.img.astype(jnp.float32)
+        if cfg.enhance:
+            img = clahe(img)
+        b = dataclasses.replace(b, img=img)
+        frame_id = st.frame_id + 1
+        pyr = tuple(build_flow_pyramid(img, cfg.n_levels_klt))
+        key, sub = jax.random.split(st.key)
+
+        # ---- inertial accumulation (every frame, every state) ----
+        pre_frame = preintegrate(
+            b.imu_omg, b.imu_acc, b.imu_dt, b.imu_mask,
+            st.ns.bg_total, st.ns.ba_total,
+            cfg.gyr_noise_sd, cfg.acc_noise_sd,
+        )
+        z3 = jnp.zeros(3, jnp.float32)
+        preint_kf = preintegrate_continue(
+            st.preint_kf, b.imu_omg, b.imu_acc, b.imu_dt, b.imu_mask, z3, z3,
+            cfg.gyr_noise_sd, cfg.acc_noise_sd,
+        )
+        # stash raw samples at offset kf_n (masked scatter)
+        Simu = b.imu_dt.shape[0]
+        S = st.kf_dt.shape[0]
+        pos = st.kf_n + jnp.arange(Simu, dtype=jnp.int32)
+        take = (b.imu_mask > 0) & (pos < S)
+        dst = jnp.where(take, pos, S - 1)
+        kf_omg = st.kf_omg.at[dst].set(
+            jnp.where(take[:, None], b.imu_omg, st.kf_omg[dst]))
+        kf_acc = st.kf_acc.at[dst].set(
+            jnp.where(take[:, None], b.imu_acc, st.kf_acc[dst]))
+        kf_dt = st.kf_dt.at[dst].set(jnp.where(take, b.imu_dt, st.kf_dt[dst]))
+        kf_mask = st.kf_mask.at[dst].set(
+            jnp.where(take, b.imu_mask, st.kf_mask[dst]))
+        kf_n = st.kf_n + jnp.sum(take).astype(jnp.int32)
+
+        # world-frame specific force for gravity estimation (pre-init)
+        Rwb = jnp.swapaxes(st.Rcw, -1, -2)
+        msum = jnp.maximum(jnp.sum(b.imu_mask), 1.0)
+        mean_acc = jnp.sum(b.imu_acc * b.imu_mask[:, None], 0) / msum
+        do_acc = (~st.vio_ok) & (st.state == WORKING)
+        accw_sum = st.accw_sum + jnp.where(do_acc, mv(Rwb, mean_acc), 0.0)
+
+        st = dataclasses.replace(
+            st, frame_id=frame_id, key=key, frame_time=b.timestamp,
+            preint_kf=preint_kf, kf_omg=kf_omg, kf_acc=kf_acc,
+            kf_dt=kf_dt, kf_mask=kf_mask, kf_n=kf_n, accw_sum=accw_sum,
+        )
+
+        # ---- track propagation ----
+        do_prop = (st.state == INITIALIZING) | (st.state == WORKING) | (
+            st.state == IMU_RELOC)
+
+        def prop(tracks):
+            # motion-model pose: IMU prediction post-init, velocity model
+            # pre-init (reference: PredictNavStateByIMU vs motion model)
+            g = gravity_w
+            dt = pre_frame.dt
+            p_pred = st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + \
+                mv(st.ns.R, pre_frame.dP)
+            R_pred = lie.normalize_rotation(mm(st.ns.R, pre_frame.dR))
+            Rcw_i, tcw_i = _ns_to_cam_pose(
+                dataclasses.replace(st.ns, p=p_pred, R=R_pred))
+            Rp = jnp.where(st.vio_ok, Rcw_i, mm(st.R_vel, st.Rcw))
+            tp = jnp.where(st.vio_ok, tcw_i, mv(st.R_vel, st.tcw) + st.t_vel)
+            guess, guess_ok = _motion_guess_jit(
+                tracks, st.map, Rp, tp, cam.fx, cam.fy, cam.cx, cam.cy)
+            return propagate_tracks(
+                tracks, st.pyr_prev, pyr, guess, guess_ok, sub,
+                win=cfg.klt_win, iters=cfg.klt_iters, levels=cfg.n_levels_klt,
+            )
+
+        tracks = jax.lax.cond(do_prop, prop, lambda t: t, st.tracks)
+        st = dataclasses.replace(st, tracks=tracks)
+
+        st = jax.lax.switch(
+            st.state,
+            [
+                lambda s, bb, pf: branch_not_initialized(s, bb),
+                lambda s, bb, pf: branch_initializing(s, bb),
+                branch_working,
+                branch_lost,
+                branch_recovery,
+            ],
+            st, b, pre_frame,
+        )
+
+        # pose ring update when WORKING
+        working = st.state == WORKING
+        slot = frame_id % RING
+        st = dataclasses.replace(
+            st,
+            pyr_prev=pyr,
+            ring_R=jnp.where(working, st.ring_R.at[slot].set(st.Rcw), st.ring_R),
+            ring_t=jnp.where(working, st.ring_t.at[slot].set(st.tcw), st.ring_t),
+            ring_frame=jnp.where(
+                working, st.ring_frame.at[slot].set(frame_id), st.ring_frame),
+        )
+        out = VipStepOut(Rcw=st.Rcw, tcw=st.tcw, p_w=st.ns.p,
+                         state=st.state, vio_ok=st.vio_ok)
+        return st, out
+
+    H, W = cam.height, cam.width
+    st0 = init_vip_state(cfg, kf_cap, pt_cap, H, W)
+    return st0, jax.jit(step)

@@ -34,6 +34,7 @@ from uvipslam_tpu.ops.clahe import clahe
 from uvipslam_tpu.ops.klt import build_flow_pyramid
 from uvipslam_tpu.ops.twoview import (
     find_fundamental,
+    initialize_two_view,
     reconstruct_from_fundamental,
     triangulate_linear,
 )
@@ -64,6 +65,11 @@ class TrackerConfig:
     ba_obs_cap: int = 8192
     scale_sigmas: tuple = tuple((1.2 ** (2 * i)) for i in range(8))
     enhance: bool = False
+    # per-KF map hygiene (reference: MapPointCulling + SearchInNeighbors
+    # every mapper cycle, src/LocalMapping.cc:791-798)
+    map_hygiene: bool = True
+    # the LoopC flag (reference: default OFF in the harbor yaml:90)
+    loop_closing: bool = False
 
 
 class MonoTracker:
@@ -98,6 +104,11 @@ class MonoTracker:
         self.last_kf_tracks = None  # snapshot of tracks at last KF
         self.n_ref_tracked = 0
         self.trajectory = []        # (frame_id, Rcw, tcw) after each frame
+        self.loop_closer = None
+        if self.cfg.loop_closing:
+            from uvipslam_tpu.loop.closer import LoopCloser
+            self.loop_closer = LoopCloser(cam.fx, cam.fy, cam.cx, cam.cy)
+        self.loop_events = []       # (frame_id, loop_kf) for diagnostics
 
     # ------------------------------------------------------------------
     def _split(self):
@@ -206,18 +217,18 @@ class MonoTracker:
 
     # ------------------------------------------------------------------
     def _try_initialize(self) -> bool:
-        """H/F two-view bootstrap (reference: Tracking::Initialize +
-        Initializer, src/Tracking.cc:1316-1525). Round-1: F path."""
+        """H/F two-view bootstrap with parallel model selection
+        (reference: Tracking::Initialize + Initializer,
+        src/Tracking.cc:1316-1525, RH = SH/(SH+SF) > 0.40 rule)."""
         t = self.tracks
         cand = t.valid & (t.birth_frame == self.init_frame_id)
         if int(jnp.sum(cand)) < self.cfg.min_init_tracks // 2:
             return False
 
-        F, score, inl = find_fundamental(
-            self._split(), t.birth_xy_und, t.xy_und, cand, sigma=1.0
-        )
         K = self.cam.K
-        rec = reconstruct_from_fundamental(F, K, t.birth_xy_und, t.xy_und, inl)
+        rec = initialize_two_view(
+            self._split(), t.birth_xy_und, t.xy_und, cand, K, sigma=1.0
+        )
         if not bool(rec["ok"]):
             return False
 
@@ -341,6 +352,7 @@ class MonoTracker:
             t.pt_id, jnp.asarray(0.0), jnp.asarray(False),
             zero_pre1, jnp.asarray(self.last_kf_slot, jnp.int32),
         )
+        m, t = self._run_hygiene(m, t)
         m = self._run_local_ba(m)
         self.map = m
         self.tracks = t
@@ -352,6 +364,41 @@ class MonoTracker:
         self.last_kf_frame = self.frame_id
         self.last_kf_tracks = self.tracks
         self.n_ref_tracked = int(jnp.sum(t.valid & (t.pt_id >= 0)))
+        self._maybe_close_loop(k_int)
+
+    # ------------------------------------------------------------------
+    def _run_hygiene(self, m: MapState, t: Tracks):
+        """Per-KF landmark culling + duplicate fusion (reference: the
+        mapper cycle, src/LocalMapping.cc:791-798)."""
+        if not self.cfg.map_hygiene:
+            return m, t
+        from uvipslam_tpu.mapstate.hygiene import cull_points, fuse_duplicates_recent
+
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        m = cull_points(m, fid)
+        m = fuse_duplicates_recent(m, fid, self.Rcw, self.tcw,
+                                   self.cam.fx, self.cam.fy,
+                                   self.cam.cx, self.cam.cy)
+        # live tracks may point at culled/fused landmarks: sever those
+        pid = jnp.clip(t.pt_id, 0, m.pt_cap - 1)
+        alive = (t.pt_id >= 0) & m.pt_valid[pid]
+        t = dataclasses.replace(t, pt_id=jnp.where(alive, t.pt_id, -1))
+        return m, t
+
+    def _maybe_close_loop(self, kf_slot: int):
+        """Loop-closing pass for the new keyframe (reference: the
+        LoopClosing thread fed by InsertKeyFrame, src/LocalMapping.cc:
+        850-852, gated by LoopC)."""
+        if self.loop_closer is None:
+            return
+        self.map, st = self.loop_closer.process_keyframe(self.map, kf_slot)
+        if st.get("loop"):
+            # adopt the corrected pose; the motion model restarts
+            ns_k = jax.tree_util.tree_map(lambda a: a[kf_slot], self.map.kf_ns)
+            self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+            self.R_vel = jnp.eye(3, dtype=jnp.float32)
+            self.t_vel = jnp.zeros(3, jnp.float32)
+            self.loop_events.append((self.frame_id, st["loop_kf"]))
 
     # ------------------------------------------------------------------
     def _relocalize(self, img) -> bool:

@@ -66,6 +66,9 @@ class VipConfig(TrackerConfig):
     # 2/3 = VIP (gravity from accel average + scale from pressure — the
     # paper's method; reference: ConfigParam Init_mode, LocalMapping.cc:182)
     init_mode: int = 2
+    # target virtual-KF spacing for the mode-1 linear solves (seconds);
+    # see build_strided_inertial for why short spacing biases the scale
+    vio_init_baseline_s: float = 0.6
     # sustained-failure recovery (reference: IMU_RELOCALIZATION tier —
     # RecoveryInitialization/CreateRecoveryMap, src/Tracking.cc:1529-1834)
     recovery_min_baseline: float = 0.04   # metres of IMU translation
@@ -99,6 +102,13 @@ class VipTracker(MonoTracker):
         self.cur_depth_valid = False
         self.frame_time = 0.0
         self.dt_frame = 0.05
+        # frame-to-frame 15-dof marginal prior (reference: the
+        # EdgeNavStatePriorPVRBias carried between frames,
+        # src/Optimizer.cc:319-777 + computeMarginals :743-762)
+        self._reset_marginal_prior()
+
+    def _reset_marginal_prior(self):
+        self.H_prior = jnp.eye(15, dtype=jnp.float32) * 1e2
 
     # ------------------------------------------------------------------
     def process_frame_vip(self, img, imu_omg, imu_acc, imu_dt, imu_mask,
@@ -200,7 +210,7 @@ class VipTracker(MonoTracker):
             )
         self.tracks = self._undistort(self.tracks)
 
-        ns_opt, inlier, n_in, tracks2 = _vi_track_jit(
+        ns_opt, inlier, n_in, tracks2, H_post = _vi_track_jit(
             self.tracks, self.map, ns_pred, self.ns, pre_frame,
             self.gravity_w, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
@@ -208,6 +218,7 @@ class VipTracker(MonoTracker):
             self.cur_depth, jnp.asarray(
                 (1.0 / self.cfg.depth_noise_sd**2) if self.cur_depth_valid else 0.0,
                 jnp.float32),
+            self.H_prior,
         )
         n_in = int(n_in)
         status = {}
@@ -219,12 +230,18 @@ class VipTracker(MonoTracker):
             self.ns = self._depth_override(ns_pred)
             self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
             self._enter_recovery(img, pyr)
+            self._reset_marginal_prior()
             status.update(state="IMU_RELOC", n_inliers=n_in)
         else:
             self.tracks = tracks2
             self.ns_prev = self.ns
             self.ns = ns_opt
             self.Rcw, self.tcw = _ns_to_cam_pose(ns_opt)
+            # carry the Schur marginal as next frame's prior; cap the
+            # information so the f32 filter can't run away over long runs
+            tr = jnp.trace(H_post) / 15.0
+            self.H_prior = (H_post + jnp.eye(15, dtype=jnp.float32) * 1e-3) \
+                * jnp.minimum(1.0, 1e6 / jnp.maximum(tr, 1e-6))
             self.tracks = refill_tracks(
                 self.tracks, img, self.frame_id,
                 n_features=self.cfg.n_tracks, px_distance=self.cfg.px_distance,
@@ -261,6 +278,19 @@ class VipTracker(MonoTracker):
         t = self.tracks
         m = self.map
         ns = self.ns if self.vio_ok else _cam_pose_to_ns(self.Rcw, self.tcw)
+        # post-init: re-integrate the since-KF window at the CURRENT bias
+        # linearization point (bg, ba) — the accumulator runs at zero
+        # bias, but the BA preint factor corrects only by the small dbg,
+        # so the stored preint must be linearized at ns.bg/ns.ba
+        # (reference: KeyFrame::ComputePreInt re-integrates at the KF's
+        # bias, src/KeyFrame.cc:218-293)
+        if self.vio_ok:
+            self.preint_kf = preintegrate(
+                self.kf_imu["omg"], self.kf_imu["acc"],
+                self.kf_imu["dt"], self.kf_imu["mask"],
+                self.ns.bg, self.ns.ba,
+                self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+            )
         m, t = HT._triangulate_new_jit(
             m, t, self.ring_R, self.ring_t, self.ring_frame,
             self.Rcw, self.tcw,
@@ -277,6 +307,7 @@ class VipTracker(MonoTracker):
             imu_omg=self.kf_imu["omg"], imu_acc=self.kf_imu["acc"],
             imu_dt=self.kf_imu["dt"], imu_mask=self.kf_imu["mask"],
         )
+        m, t = self._run_hygiene(m, t)
         if self.vio_ok:
             m = self._run_vi_ba(m)
         else:
@@ -294,6 +325,11 @@ class VipTracker(MonoTracker):
         self.n_ref_tracked = int(jnp.sum(t.valid & (t.pt_id >= 0)))
         # reset the since-KF accumulators
         self._reset_kf_accumulators()
+        # the window BA re-anchors the state: restart the frame-to-frame
+        # marginal there (the reference likewise switches the tracking
+        # reference to the new KF on map update, src/Tracking.cc:1099)
+        if self.vio_ok:
+            self._reset_marginal_prior()
         if not self.vio_ok:
             self._maybe_init_vio()
 
@@ -346,10 +382,7 @@ class VipTracker(MonoTracker):
     def _process_frame_recovery(self, img, pre_frame):
         from uvipslam_tpu.frontend.frame import propagate_tracks
         from uvipslam_tpu.ops.klt import build_flow_pyramid
-        from uvipslam_tpu.ops.twoview import (
-            find_fundamental,
-            reconstruct_from_fundamental,
-        )
+        from uvipslam_tpu.ops.twoview import initialize_two_view
 
         self.frame_id += 1
         img = jnp.asarray(img, jnp.float32)
@@ -395,13 +428,14 @@ class VipTracker(MonoTracker):
         if since < self.cfg.recovery_min_frames or baseline < self.cfg.recovery_min_baseline:
             return status
 
-        # two-view bootstrap between the anchor and this frame
+        # two-view bootstrap between the anchor and this frame, with
+        # parallel H/F model selection (reference: Re_CheckRT recovery
+        # re-init reuses the same Initializer, include/Initializer.h:44)
         t = self.tracks
         cand = t.valid & (t.birth_frame == self.rec_anchor_frame)
-        F, score, inl = find_fundamental(
-            self._split(), t.birth_xy_und, t.xy_und, cand, sigma=1.0)
-        rec = reconstruct_from_fundamental(
-            F, self.cam.K, t.birth_xy_und, t.xy_und, inl)
+        rec = initialize_two_view(
+            self._split(), t.birth_xy_und, t.xy_und, cand, self.cam.K,
+            sigma=1.0)
         if not bool(rec["ok"]):
             return status
 
@@ -429,12 +463,26 @@ class VipTracker(MonoTracker):
         feat_pt = jnp.where(good, ids, -1)
 
         da, dv = self.rec_anchor_depth
+        # re-integrate both stored windows at the current bias
+        # linearization point (see _create_keyframe)
+        pre_anchor = preintegrate(
+            self.rec_anchor_imu["omg"], self.rec_anchor_imu["acc"],
+            self.rec_anchor_imu["dt"], self.rec_anchor_imu["mask"],
+            self.ns.bg, self.ns.ba,
+            self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+        )
+        pre_cur = preintegrate(
+            self.kf_imu["omg"], self.kf_imu["acc"],
+            self.kf_imu["dt"], self.kf_imu["mask"],
+            self.ns.bg, self.ns.ba,
+            self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+        )
         m, k0 = m.add_keyframe(
             self.rec_anchor_ns, jnp.asarray(self.rec_anchor_time, jnp.float32),
             jnp.asarray(self.rec_anchor_frame, jnp.int32),
             t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
             da, jnp.asarray(dv),
-            self.rec_anchor_preint, jnp.asarray(self.last_kf_slot, jnp.int32),
+            pre_anchor, jnp.asarray(self.last_kf_slot, jnp.int32),
             imu_omg=self.rec_anchor_imu["omg"], imu_acc=self.rec_anchor_imu["acc"],
             imu_dt=self.rec_anchor_imu["dt"], imu_mask=self.rec_anchor_imu["mask"],
         )
@@ -447,7 +495,7 @@ class VipTracker(MonoTracker):
             jnp.asarray(self.frame_id, jnp.int32),
             t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
             self.cur_depth, jnp.asarray(self.cur_depth_valid),
-            self.preint_kf, k0,
+            pre_cur, k0,
             imu_omg=self.kf_imu["omg"], imu_acc=self.kf_imu["acc"],
             imu_dt=self.kf_imu["dt"], imu_mask=self.kf_imu["mask"],
         )
@@ -471,6 +519,7 @@ class VipTracker(MonoTracker):
         self.ring_t = self.ring_t.at[slot1].set(self.tcw)
         self.ring_frame = self.ring_frame.at[slot1].set(self.frame_id)
         self.state = WORKING
+        self._reset_marginal_prior()
         self.trajectory.append(
             (self.frame_id, np.asarray(self.Rcw), np.asarray(self.tcw)))
         status.update(state="WORKING", recovery="re-initialized",
@@ -497,6 +546,20 @@ class VipTracker(MonoTracker):
         if t_span < self.cfg.vio_init_min_time:
             return
 
+        # 0. full-map visual BA: the sliding-window BA lets the mono map's
+        # scale drift across the init window (measured 40% over 3 s),
+        # which breaks the triplet identities of the linear solve; a
+        # global pass makes the map internally consistent first
+        # (reference: the VI-ORB init operates on a map maintained by
+        # map-wide covisibility BA; see also GlobalBundleAdjustemnt
+        # at CreateInitialMap, src/Tracking.cc:1480)
+        from uvipslam_tpu.solver.global_ba import global_ba_visual
+        m = global_ba_visual(
+            m, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+        )
+        self.map = m
+
         # 1. gyro bias over consecutive KF pairs (vision rotations)
         pair_mask = m.kf_valid & (m.kf_prev >= 0)
         bg = vio_init.estimate_gyro_bias(
@@ -516,27 +579,55 @@ class VipTracker(MonoTracker):
         ba_est = jnp.zeros(3, jnp.float32)
 
         if self.cfg.init_mode == 1:
-            # 3/4 (Init_mode 1, VI): joint linear [s, g_w] SVD solve over
-            # consecutive KF triplets — VI-ORB's "map reuse" method
-            # (reference: src/LocalMapping.cc:182-379)
-            ks = jnp.arange(m.kf_cap)
-            triple = (m.kf_valid & jnp.roll(m.kf_valid, 1) & jnp.roll(m.kf_valid, 2)
-                      & (ks >= 2) & (pre2.dt > 1e-6) & (jnp.roll(pre2.dt, 1) > 1e-6))
+            # 3/4 (Init_mode 1, VI): joint linear [s, g_w] solve — VI-ORB's
+            # "map reuse" method (reference: src/LocalMapping.cc:182-379),
+            # run over STRIDED virtual keyframes: at short KF spacing the
+            # triplet position-second-differences are noise-dominated and
+            # the errors-in-variables attenuation biases the scale LOW
+            # (see vio_init.build_strided_inertial); the reference's 22 s
+            # window with ~1 s KF spacing has the same effect
+            dt_avg = t_span / max(n_kf - 1, 1)
+            J = max(1, int(round(self.cfg.vio_init_baseline_s / max(dt_avg, 1e-3))))
+            J = max(1, min(J, (n_kf - 2) // 4))
+            sel, vvalid, s_omg, s_acc, s_dt, s_mask = \
+                vio_init.build_strided_inertial(
+                    m.kf_valid, m.kf_imu_omg, m.kf_imu_acc,
+                    m.kf_imu_dt, m.kf_imu_mask, J)
+            pv = m.kf_ns.p[sel]
+            Rv = m.kf_ns.R[sel]
+            z3v = jnp.zeros(3, jnp.float32)
+            pre0v = jax.vmap(
+                lambda o, a, d, msk: preintegrate(
+                    o, a, d, msk, z3v, z3v,
+                    self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+            )(s_omg, s_acc, s_dt, s_mask)
+            vk = jnp.arange(sel.shape[0])
+            vpair = vvalid & jnp.roll(vvalid, 1) & (vk >= 1) & (pre0v.dt > 1e-6)
+            bg = vio_init.estimate_gyro_bias(Rv, pre0v.dR, pre0v.J_R_bg, vpair)
+            prev_ = jax.vmap(
+                lambda o, a, d, msk: preintegrate(
+                    o, a, d, msk, bg, z3v,
+                    self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+            )(s_omg, s_acc, s_dt, s_mask)
+            triple = (vvalid & jnp.roll(vvalid, 1) & jnp.roll(vvalid, 2)
+                      & (vk >= 2) & (prev_.dt > 1e-6)
+                      & (jnp.roll(prev_.dt, 1) > 1e-6))
             pcb = jnp.zeros(3, jnp.float32)
             s_lin, g_w = vio_init.estimate_scale_gravity_linear(
-                m.kf_ns.p, m.kf_ns.R, pre2.dP, pre2.dV, pre2.dt, pcb, triple,
+                pv, Rv, prev_.dP, prev_.dV, prev_.dt, pcb, triple,
             )
             # second solve: |g| = 9.81 constraint + accelerometer bias
             # (reference: src/LocalMapping.cc:262-379)
             s_lin, g_w, ba_est = vio_init.refine_scale_gravity_accbias(
-                m.kf_ns.p, m.kf_ns.R, pre2.dP, pre2.dV, pre2.dt,
-                pre2.J_P_ba, pre2.J_V_ba, g_w, pcb, triple,
+                pv, Rv, prev_.dP, prev_.dV, prev_.dt,
+                prev_.J_P_ba, prev_.J_V_ba, g_w, pcb, triple,
             )
             scale = float(s_lin)
             if not np.isfinite(scale) or scale <= 1e-3:
                 return
             g_dir_vision = g_w / jnp.maximum(jnp.linalg.norm(g_w), 1e-9)
-            # re-integrate with both biases before velocity recovery
+            # re-integrate the per-KF preints with both biases before
+            # velocity recovery
             pre2 = jax.vmap(
                 lambda o, a, d, msk: preintegrate(
                     o, a, d, msk, bg, ba_est,
@@ -616,6 +707,7 @@ class VipTracker(MonoTracker):
         self.ns_prev = self.ns
         self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
         self.vio_ok = True
+        self._reset_marginal_prior()
 
     # ------------------------------------------------------------------
     def _apply_world_sim3(self, s, R_align):
@@ -643,20 +735,22 @@ class VipTracker(MonoTracker):
 
 def _vi_track_jit(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                   fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                  depth, depth_info):
-    """VI pose solve + local-map re-association + second solve
-    (reference: TrackWithIMU + TrackLocalMapWithIMU)."""
+                  depth, depth_info, H_prior):
+    """VI pose solve + local-map re-association + marginalized two-state
+    second solve (reference: TrackWithIMU + TrackLocalMapWithIMU with
+    bComputeMarg=true, src/Tracking.cc:1081-1149,1955-2073)."""
     return __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                            fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                           depth, depth_info)
+                           depth, depth_info, H_prior)
 
 
 @jax.jit
 def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                     fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                    depth, depth_info):
+                    depth, depth_info, H_prior):
     import uvipslam_tpu.frontend.tracker as HT
     from uvipslam_tpu.ops import hamming
+    from uvipslam_tpu.solver.pose_opt import pose_optimization_vi2
 
     dtype = jnp.float32
     has_pt = tracks.valid & (tracks.pt_id >= 0)
@@ -698,13 +792,17 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     has2 = tracks2.valid & (tracks2.pt_id >= 0)
     pid2 = jnp.clip(tracks2.pt_id, 0, m.pt_cap - 1)
     pw2 = m.pt_xyz[pid2]
-    ns2, inl2, n2, H_post = pose_optimization_vi(
-        ns1, ns_ref, pre_frame, pw2, tracks2.xy_und,
-        has2 & m.pt_valid[pid2],
+    # second solve: two-state marginalized VI(P) — optimizes the previous
+    # frame under its 15-dof marginal prior jointly with the current one,
+    # uses the paper's depth-projected ternary, and returns the Schur
+    # marginal of the current state as the next frame's prior
+    ns2, inl2, n2, H_post = pose_optimization_vi2(
+        ns_ref, ns1, H_prior, pre_frame,
+        pw2, tracks2.xy_und, has2 & m.pt_valid[pid2],
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
         gravity, Rcb, tcb, fx, fy, cx, cy, gyr_rw2, acc_rw2,
-        depth_meas=depth, depth_info=depth_info,
-        use_depth=True, rounds=2, iters=8,
+        depth_meas=depth, depth_info=depth_info, use_depth=True,
+        rounds=2, iters=8,
     )
 
     # sever hopeless associations only
@@ -716,7 +814,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     hopeless = has2 & ((err2 > 100.0) | (pc2[..., 2] <= 0))
     tracks3 = dataclasses.replace(
         tracks2, pt_id=jnp.where(hopeless, -1, tracks2.pt_id))
-    return ns2, inl2, n2, tracks3
+    return ns2, inl2, n2, tracks3, H_post
 
 
 W_KF_BA = 16
@@ -729,7 +827,7 @@ def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
     tracker._local_ba_jit for the windowing rationale). The first slot
     of the window is the fixed boundary keyframe (its preint edge points
     outside and is masked)."""
-    W = W_KF_BA
+    W = min(W_KF_BA, m.kf_cap)
     lo = jnp.clip(m.n_kf - W, 0, m.kf_cap - W).astype(jnp.int32)
 
     def sl(a):

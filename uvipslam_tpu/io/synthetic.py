@@ -211,12 +211,24 @@ def make_sequence(
     fine_t = np.arange(fine_n) * dt_imu
 
     def center_at(t):
+        # MUST mirror the camera-trajectory formulas above exactly, or
+        # the IMU describes a different motion than the images (round-2
+        # bug: "excited" fell into the forward default, so the gyro
+        # carried no yaw and the accelerometer no excitation — the
+        # gyro-bias solve absorbed the real yaw rate and the VI scale
+        # solve collapsed)
         if motion == "arc":
             return np.array([speed * t, 0.15 * np.sin(0.7 * t), z_amp * np.sin(0.5 * t)])
+        if motion == "excited":
+            return np.array([
+                speed * t + 0.25 * np.sin(2.0 * t),
+                0.20 * np.sin(1.3 * t + 1.0),
+                z_amp * np.sin(0.9 * t),
+            ])
         return np.array([0.0, 0.0, speed * t])
 
     def yaw_at(t):
-        return 0.12 * np.sin(0.4 * t) if motion == "arc" else 0.0
+        return 0.12 * np.sin(0.4 * t) if motion in ("arc", "excited") else 0.0
 
     for f in range(1, n_frames):
         for s in range(S):

@@ -42,17 +42,15 @@ from uvipslam_tpu.solver.essential_graph import (
 
 
 def detect_loop_candidates(m: MapState, query_kf: int, min_gap: int = 10,
-                           top_k: int = 3):
+                           top_k: int = 3, min_score: float | None = None):
     """BoW + haloc candidate retrieval for `query_kf`, excluding the
-    recent window (reference: DetectLoop's covisible exclusion).
-    Returns (idx [top_k], ok [top_k]) — host-friendly numpy."""
-    cb = _codebook()
-    idf = jnp.ones((cb.shape[0],), jnp.float32)
-    kf_bows = jax.vmap(lambda d, v: bow_vector(d, v, cb, idf))(
-        m.kf_feat_desc, m.kf_feat_valid
-    )
-    v_q = kf_bows[query_kf]
-    scores = l1_score(v_q, kf_bows)
+    recent window (reference: DetectLoop's covisible exclusion) and
+    gating BoW candidates at `min_score` (reference: the min score vs
+    covisible KFs, src/LoopClosing.cc:164-175). Uses the retrieval
+    vectors stored at KF insertion — O(K) per query.
+    Returns (idx [<=2*top_k], scores [top_k]) — host-friendly numpy."""
+    v_q = m.kf_bow[query_kf]
+    scores = l1_score(v_q, m.kf_bow)
 
     kf_ids = jnp.arange(m.kf_cap)
     exclude = (kf_ids > query_kf - min_gap) | ~m.kf_valid
@@ -60,16 +58,30 @@ def detect_loop_candidates(m: MapState, query_kf: int, min_gap: int = 10,
     bow_val, bow_idx = jax.lax.top_k(s, top_k)
 
     # haloc ranking as the second channel (reference: getCandidates_haloc)
-    kf_hashes = jax.vmap(lambda d, v: haloc.compute_hash(d, v))(
-        m.kf_feat_desc, m.kf_feat_valid
-    )
     h_idx, h_dist, h_ok = haloc.detect_candidates_haloc(
-        kf_hashes[query_kf], kf_hashes, m.kf_valid, exclude, top_k=top_k,
+        m.kf_hash[query_kf], m.kf_hash, m.kf_valid, exclude, top_k=top_k,
     )
 
-    idx = np.unique(np.concatenate([np.asarray(bow_idx), np.asarray(h_idx)]))
-    ok = np.asarray(s)[idx] > 0
-    return idx[ok], np.asarray(bow_val)
+    gate = 0.0 if min_score is None else max(float(min_score), 0.0)
+    bow_keep = np.asarray(bow_idx)[np.asarray(bow_val) > gate]
+    h_keep = np.asarray(h_idx)[np.asarray(h_ok)]
+    idx = np.unique(np.concatenate([bow_keep, h_keep]))
+    idx = idx[np.asarray(s)[idx] > 0]
+    return idx, np.asarray(bow_val)
+
+
+def min_covisible_score(m: MapState, query_kf: int, covis_th: int = 15):
+    """Min BoW similarity between the query KF and its covisible KFs —
+    the reference's candidate gate (src/LoopClosing.cc:164-175)."""
+    one = jnp.zeros((m.kf_cap,), bool).at[query_kf].set(True)
+    pts = m.points_seen_by(one)
+    w = m.covisibility_with(pts)
+    covis = m.kf_valid & (w >= covis_th)
+    covis = covis.at[query_kf].set(False)
+    s = l1_score(m.kf_bow[query_kf], m.kf_bow)
+    s = jnp.where(covis, s, jnp.inf)
+    mn = jnp.min(s)
+    return float(jnp.where(jnp.isinf(mn), 0.0, mn))
 
 
 def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
@@ -86,6 +98,10 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     idx_b, _, ok_b = hamming.match_best(db, da, vb, va,
                                         max_dist=hamming.TH_HIGH, ratio=0.9)
     ok = hamming.mutual_filter(idx, ok, idx_b, ok_b)
+    # rotation-consistency gate (reference: SearchByBoW's orientation
+    # histogram inside ComputeSim3's matching, src/ORBmatcher.cc:155)
+    ok = hamming.rotation_consistency(
+        m.kf_feat_angle[kf_a], m.kf_feat_angle[kf_b], idx, ok)
 
     pid_a = m.kf_feat_pt[kf_a]
     pid_b = m.kf_feat_pt[kf_b][jnp.clip(idx, 0, m.n_feat - 1)]
@@ -163,3 +179,92 @@ def close_loop(m: MapState, query_kf: int, loop_kf: int,
 
     kf_ns2 = jax.vmap(to_ns)(s2, R2, t2, m.kf_ns)
     return dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2)
+
+
+class LoopCloser:
+    """Per-keyframe loop-closing orchestration with covisibility-
+    consistency gating (the LoopClosing thread's control flow;
+    reference: src/LoopClosing.cc:71-344).
+
+    A candidate group = the candidate KF plus its covisible KFs; a
+    candidate is accepted only after its group shares a member with a
+    chain of groups from `consistency_th` consecutive detections
+    (reference: mvConsistentGroups, :285-344). On acceptance: Sim3
+    verification, essential-graph correction, landmark re-expression,
+    and post-loop duplicate fusion (reference: CorrectLoop :539-691).
+    """
+
+    def __init__(self, fx, fy, cx, cy, consistency_th: int = 3,
+                 covis_th: int = 15, min_gap: int = 10,
+                 min_sim3_inliers: int = 20, seed: int = 11):
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.consistency_th = consistency_th
+        self.covis_th = covis_th
+        self.min_gap = min_gap
+        self.min_sim3_inliers = min_sim3_inliers
+        self.key = jax.random.PRNGKey(seed)
+        # list of (frozenset group, chain_length)
+        self.consistent_groups: list[tuple[frozenset, int]] = []
+        self.last_loop_kf: int = -(10 ** 9)
+        self.n_closed = 0
+
+    def _split(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _covis_group(self, m: MapState, kf: int) -> frozenset:
+        one = jnp.zeros((m.kf_cap,), bool).at[kf].set(True)
+        pts = m.points_seen_by(one)
+        w = m.covisibility_with(pts)
+        grp = np.nonzero(np.asarray(m.kf_valid & (w >= self.covis_th)))[0]
+        return frozenset(grp.tolist()) | {kf}
+
+    def process_keyframe(self, m: MapState, query_kf: int):
+        """Run detection for the new keyframe `query_kf`; if a candidate
+        passes the consistency chain and Sim3 verification, returns the
+        corrected map. Returns (map, status dict)."""
+        status = {"loop": False, "candidates": 0}
+        if query_kf - self.last_loop_kf < self.min_gap:
+            return m, status
+
+        ms = min_covisible_score(m, query_kf, self.covis_th)
+        idx, _ = detect_loop_candidates(
+            m, query_kf, min_gap=self.min_gap, min_score=ms)
+        status["candidates"] = len(idx)
+
+        # --- covisibility-consistency chaining ---
+        new_groups: list[tuple[frozenset, int]] = []
+        accepted: list[int] = []
+        for c in idx:
+            grp = self._covis_group(m, int(c))
+            chain = 0
+            for prev_grp, prev_len in self.consistent_groups:
+                if grp & prev_grp:
+                    chain = max(chain, prev_len + 1)
+            new_groups.append((grp, chain))
+            if chain >= self.consistency_th:
+                accepted.append(int(c))
+        self.consistent_groups = new_groups
+        if not accepted:
+            return m, status
+
+        # --- Sim3 verification on accepted candidates ---
+        for c in accepted:
+            ok, s, R, t, n_in = compute_loop_sim3(
+                m, query_kf, c, self._split(),
+                self.fx, self.fy, self.cx, self.cy,
+                min_inliers=self.min_sim3_inliers,
+            )
+            if not ok:
+                continue
+            # --- correct: pose graph + landmark sweep + post-loop fuse
+            m = close_loop(m, query_kf, c, s, R, t)
+            from uvipslam_tpu.mapstate.hygiene import fuse_duplicates
+            m = fuse_duplicates(m)
+            self.last_loop_kf = query_kf
+            self.n_closed += 1
+            self.consistent_groups = []
+            status.update(loop=True, loop_kf=int(c), sim3_inliers=int(n_in),
+                          scale=float(s))
+            break
+        return m, status

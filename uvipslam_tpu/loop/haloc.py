@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 N_PROJ = 3
+HASH_DIM = N_PROJ * 256
 
 
 @functools.lru_cache(maxsize=8)

@@ -51,12 +51,10 @@ def relocalize_frame(tracks, m, key, fx, fy, cx, cy):
     cb = _codebook()
     idf = jnp.ones((cb.shape[0],), jnp.float32)
 
-    # frame BoW vs all keyframes' BoW (computed on the fly, batched)
+    # frame BoW vs the keyframes' BoW vectors stored at insertion
+    # (reference: per-KF ComputeBoW once, scored by the database query)
     v_frame = bow_vector(tracks.desc, tracks.valid, cb, idf)
-    kf_bows = jax.vmap(lambda d, va: bow_vector(d, va, cb, idf))(
-        m.kf_feat_desc, m.kf_feat_valid
-    )
-    scores = l1_score(v_frame, kf_bows)
+    scores = l1_score(v_frame, m.kf_bow)
     scores = jnp.where(m.kf_valid, scores, -1.0)
     _, top_kfs = jax.lax.top_k(scores, 3)
 
@@ -76,6 +74,10 @@ def relocalize_frame(tracks, m, key, fx, fy, cx, cy):
             max_dist=hamming.TH_HIGH, ratio=0.9,
         )
         ok = hamming.mutual_filter(idx, ok, idx_b, ok_b)
+        # rotation-consistency histogram gate (reference:
+        # ComputeThreeMaxima + mbCheckOrientation, src/ORBmatcher.cc)
+        ok = hamming.rotation_consistency(
+            tracks.angle, m.kf_feat_angle[best_kf], idx, ok)
         pid = jnp.where(ok, kf_pt[jnp.clip(idx, 0, kf_pt.shape[0] - 1)], -1)
         pw = m.pt_xyz[jnp.clip(pid, 0, m.pt_cap - 1)]
         cand = ok & (pid >= 0) & m.pt_valid[jnp.clip(pid, 0, m.pt_cap - 1)]

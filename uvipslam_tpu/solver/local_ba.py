@@ -271,19 +271,43 @@ def local_ba_navstate(
         wb = (huber_weight(chi2b, HUBER2_BIAS) if robust else jnp.ones_like(chi2b))
         wb = wb * pre_mask.astype(dtype)
 
+        # depth-projected ternary edges along the preint pairs — the
+        # paper's pressure factor (reference: EdgeNavStateDepthProjected,
+        # src/IMU/g2otypes.cpp:292-392; wired per window pair like the
+        # multi-depth edges of LocalBundleAdjustmentNavState,
+        # src/Optimizer.cc:1371-1464). shi=1: the pressure sample is
+        # taken at KF j's timestamp.
+        rdp, Jdp_i, Jdp_j, Jdp_b = factors.depth_projected(
+            nsi.p, nsi.v, nsi.R, nsj.p, nsi.dbg, nsi.dba,
+            pre.dP, pre.J_P_bg, pre.J_P_ba, dT,
+            depth_meas[pre_j], jnp.ones_like(dT), gravity_z=gravity[2],
+        )
+        dp_info = depth_info[pre_j]
+        dp_mask = pre_mask & (dp_info > 0)
+        chi2dp = rdp[:, 0] ** 2 * dp_info
+        wdp = (huber_weight(chi2dp, HUBER2_DEPTH) if robust
+               else jnp.ones_like(chi2dp))
+        wdp = wdp * dp_info * dp_mask.astype(dtype)
+
+        # unary z prior only as a fallback for KFs not constrained by any
+        # active ternary (same measurement never counted twice)
+        covered = jnp.zeros((kf.p.shape[0],), bool).at[pre_j].max(dp_mask)
         rd, Jd = factors.depth_prior(kf.p, depth_meas)       # [K, 1], [K, 1, 9]
         chi2d = rd[:, 0] ** 2 * depth_info
         wd = (huber_weight(chi2d, HUBER2_DEPTH) if robust else jnp.ones_like(chi2d))
-        wd = wd * depth_info * free_kf.astype(dtype)
+        wd = wd * depth_info * (free_kf & ~covered).astype(dtype)
         return ((rp, J_i, J_j, J_b, chi2p, wp),
                 (rb, J_bi, J_bj, chi2b, wb),
-                (rd, Jd, chi2d, wd))
+                (rd, Jd, chi2d, wd),
+                (rdp, Jdp_i, Jdp_j, Jdp_b, chi2dp, wdp, dp_mask))
 
-    def _edge_cost(chi2p, chi2b, chi2d):
+    def _edge_cost(chi2p, chi2b, chi2d, chi2dp, dp_mask, wd):
         return (
             jnp.sum(jnp.where(pre_mask, huber_cost(chi2p, HUBER2_PVR), 0.0))
             + jnp.sum(jnp.where(pre_mask, huber_cost(chi2b, HUBER2_BIAS), 0.0))
-            + jnp.sum(jnp.where(depth_info > 0, huber_cost(chi2d, HUBER2_DEPTH), 0.0))
+            + jnp.sum(jnp.where((depth_info > 0) & (wd > 0),
+                                huber_cost(chi2d, HUBER2_DEPTH), 0.0))
+            + jnp.sum(jnp.where(dp_mask, huber_cost(chi2dp, HUBER2_DEPTH), 0.0))
         )
 
     def _reproj_chi2(kf, pts):
@@ -314,7 +338,9 @@ def local_ba_navstate(
         total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
 
         (rp, J_i, J_j, J_b, chi2p, wp), (rb, J_bi, J_bj, chi2b, wb), \
-            (rd, Jd, chi2d, wd) = _edge_terms(kf, robust)
+            (rd, Jd, chi2d, wd), \
+            (rdp, Jdp_i, Jdp_j, Jdp_b, chi2dp, wdp, dp_mask) = \
+            _edge_terms(kf, robust)
 
         # ---- preintegration ternary edges (PVR_i, PVR_j, Bias_i) ----
         J_i = J_i * free_kf[pre_i].astype(dtype)[:, None, None]
@@ -344,12 +370,26 @@ def local_ba_navstate(
             gc4 = gc4.at[:, 9:15].add(
                 jnp.einsum("ea,ei->ai", oha, gblk, precision=_HI))
 
-        # ---- per-KF pressure depth priors (unary -> diagonal blocks) ----
+        # ---- depth-projected ternary edges (PVR_i, PVR_j, Bias_i) ----
+        Jdp_i = Jdp_i * free_kf[pre_i].astype(dtype)[:, None, None]
+        Jdp_j = Jdp_j * free_kf[pre_j].astype(dtype)[:, None, None]
+        Jdp_b = Jdp_b * free_kf[pre_i].astype(dtype)[:, None, None]
+        dp_blocks = ((Jdp_i, oh_i, 0), (Jdp_j, oh_j, 0), (Jdp_b, oh_i, 9))
+        for (Ja, oha, offa) in dp_blocks:
+            for (Jb_, ohb, offb) in dp_blocks:
+                blk = jnp.einsum("emi,e,emj->eij", Ja, wdp, Jb_, precision=_HI)
+                Hcc4 = _add_cross(Hcc4, oha, blk, ohb, offa, offb)
+            gblk = jnp.einsum("emi,e,em->ei", Ja, wdp, rdp, precision=_HI)
+            d = Ja.shape[-1]
+            gc4 = gc4.at[:, offa:offa + d].add(
+                jnp.einsum("ea,ei->ai", oha, gblk, precision=_HI))
+
+        # ---- per-KF pressure depth priors (unary fallback -> diagonal) ----
         blk = jnp.einsum("kmi,k,kmj->kij", Jd, wd, Jd, precision=_HI)
         Hcc4 = Hcc4.at[:, :9, :, :9].add(blk[:, :, None, :] * eyeK[:, None, :, None])
         gc4 = gc4.at[:, :9].add(jnp.einsum("kmi,k,km->ki", Jd, wd, rd, precision=_HI))
 
-        total = total + _edge_cost(chi2p, chi2b, chi2d)
+        total = total + _edge_cost(chi2p, chi2b, chi2d, chi2dp, dp_mask, wd)
 
         # gauge: identity on fixed/invalid pose slots
         Hcc = Hcc4.reshape(C, C)
@@ -364,9 +404,9 @@ def local_ba_navstate(
         kf, pts = state
         chi2 = _reproj_chi2(kf, pts)
         total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
-        (_, _, _, _, chi2p, _), (_, _, _, chi2b, _), (_, _, chi2d, _) = \
-            _edge_terms(kf, robust)
-        return total + _edge_cost(chi2p, chi2b, chi2d)
+        (_, _, _, _, chi2p, _), (_, _, _, chi2b, _), (_, _, chi2d, wd), \
+            (_, _, _, _, chi2dp, _, dp_mask) = _edge_terms(kf, robust)
+        return total + _edge_cost(chi2p, chi2b, chi2d, chi2dp, dp_mask, wd)
 
     def retract(state, dc, dp):
         kf, pts = state

@@ -251,3 +251,193 @@ def pose_optimization_vi(
     ns_out = unpack(x)
     H_post, _, _ = residual_fn_builder(inlier, False)(x)
     return ns_out, inlier, jnp.sum(inlier), H_post
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters", "use_depth"))
+def pose_optimization_vi2(
+    ns_prev: NavState,        # previous-frame posterior (prior mean)
+    ns_cur: NavState,         # current-frame initial guess (IMU predict)
+    prior_info: jax.Array,    # [15, 15] marginal information of ns_prev
+    preint,                   # PreintState prev -> cur
+    # current-frame reprojection set
+    pts_w: jax.Array, uvs: jax.Array, valid: jax.Array, inv_sigma2: jax.Array,
+    gravity: jax.Array,
+    Rcb: jax.Array, tcb: jax.Array,
+    fx, fy, cx, cy,
+    gyr_bias_rw2: float, acc_bias_rw2: float,
+    depth_meas: jax.Array | None = None,     # scalar (at frame j time)
+    depth_info: jax.Array | None = None,     # scalar 1/sigma^2 (0 disables)
+    depth_shi: jax.Array | None = None,      # interp factor in [0,1]
+    rounds: int = 3,
+    iters: int = 8,
+    use_depth: bool = False,
+):
+    """Frame-to-frame marginalized VI(P) solve: optimizes BOTH the
+    previous and current NavStates (30 dof) like the reference's
+    PoseOptimization(F, lastF, ...) (reference: src/Optimizer.cc:319-777):
+
+      vertices: PVR_prev, Bias_prev, PVR_cur, Bias_cur
+      edges:    15-dof marginal prior on (PVR_prev, Bias_prev) — this is
+                the ONLY vision information on the previous state: its
+                own reprojection edges were already folded into the
+                marginal when it was the current frame (re-adding them
+                would double-count and over-smooth the filter)
+                N reprojections on PVR_cur
+                preintegration ternary (PVR_prev, PVR_cur, Bias_prev)
+                bias random walk (Bias_prev, Bias_cur)
+                depth-projected ternary (PVR_prev, PVR_cur, Bias_prev) —
+                the paper's pressure factor
+                (reference: EdgeNavStateDepthProjected,
+                src/IMU/g2otypes.cpp:292-392)
+
+    Returns (ns_cur_opt, inlier [N], n_inliers, H_marg [15, 15]) where
+    H_marg is the Schur marginal information of the CURRENT state — the
+    next frame's prior (reference: computeMarginals, :743-762).
+    """
+    dtype = ns_cur.p.dtype
+    dTij = preint.dt
+    cov = preint.cov + jnp.eye(9, dtype=dtype) * 1e-8
+    info_pvr = inv_spd_scaled(cov)
+    info_bias = jnp.diag(
+        jnp.concatenate([
+            jnp.full((3,), 1.0 / jnp.maximum(gyr_bias_rw2 * dTij, 1e-12), dtype),
+            jnp.full((3,), 1.0 / jnp.maximum(acc_bias_rw2 * dTij, 1e-12), dtype),
+        ])
+    )
+    shi = jnp.asarray(1.0, dtype) if depth_shi is None else depth_shi
+    g_z = jnp.abs(gravity[2])
+
+    inlier = valid
+
+    # state layout: [prev dP dV dPhi (0:9), prev dbg dba (9:15),
+    #                cur  dP dV dPhi (15:24), cur dbg dba (24:30)]
+    def unpack(x):
+        pp, pv, pR, pdbg, pdba, cp, cv, cR, cdbg, cdba = x
+        nsp = NavState(p=pp, v=pv, R=pR, bg=ns_prev.bg, ba=ns_prev.ba,
+                       dbg=pdbg, dba=pdba)
+        nsc = NavState(p=cp, v=cv, R=cR, bg=ns_cur.bg, ba=ns_cur.ba,
+                       dbg=cdbg, dba=cdba)
+        return nsp, nsc
+
+    def pack(nsp, nsc):
+        return (nsp.p, nsp.v, nsp.R, nsp.dbg, nsp.dba,
+                nsc.p, nsc.v, nsc.R, nsc.dbg, nsc.dba)
+
+    def residual_fn_builder(inl_cur, robust):
+        def residual_fn(x):
+            nsp, nsc = unpack(x)
+            H = jnp.zeros((30, 30), dtype)
+            g = jnp.zeros((30,), dtype)
+            total = jnp.asarray(0.0, dtype)
+
+            # --- reprojection on cur (cols 15:24) ---
+            rc_, Jc_, _ = factors.reproj_navstate(
+                nsc.p, nsc.R, pts_w, uvs, Rcb, tcb, fx, fy, cx, cy)
+            chi2c = jnp.sum(rc_ * rc_, axis=-1) * inv_sigma2
+            wc_ = huber_weight(chi2c, HUBER2_MONO) if robust else jnp.ones_like(chi2c)
+            wc_ = wc_ * inv_sigma2 * inl_cur.astype(dtype)
+            Hv, gv = accumulate_normal_eqs(Jc_, rc_, wc_)
+            H = H.at[15:24, 15:24].add(Hv)
+            g = g.at[15:24].add(gv)
+            total = total + jnp.sum(jnp.where(inl_cur, huber_cost(chi2c, HUBER2_MONO), 0.0))
+
+            # --- preintegration ternary ---
+            rpre, J_i, J_j, J_b = factors.preint_pvr(
+                nsp.p, nsp.v, nsp.R, nsc.p, nsc.v, nsc.R,
+                nsp.dbg, nsp.dba,
+                preint.dP, preint.dV, preint.dR,
+                preint.J_P_bg, preint.J_P_ba, preint.J_V_bg, preint.J_V_ba,
+                preint.J_R_bg, dTij, gravity,
+            )
+            chi2_pre = rpre @ info_pvr @ rpre
+            wpre = huber_weight(chi2_pre, HUBER2_PVR) if robust else jnp.asarray(1.0, dtype)
+            Jfull = jnp.zeros((9, 30), dtype)
+            Jfull = Jfull.at[:, 0:9].set(J_i)
+            Jfull = Jfull.at[:, 9:15].set(J_b)
+            Jfull = Jfull.at[:, 15:24].set(J_j)
+            JW = (Jfull.T * wpre) @ info_pvr
+            H = H + JW @ Jfull
+            g = g + JW @ rpre
+            total = total + huber_cost(chi2_pre, HUBER2_PVR)
+
+            # --- bias random walk ---
+            rb, J_bi, J_bj = factors.bias_walk(
+                nsp.dbg, nsp.dba, nsc.dbg, nsc.dba,
+                nsp.bg, nsp.ba, nsc.bg, nsc.ba,
+            )
+            chi2_b = rb @ info_bias @ rb
+            wb = huber_weight(chi2_b, HUBER2_BIAS) if robust else jnp.asarray(1.0, dtype)
+            Jbf = jnp.zeros((6, 30), dtype)
+            Jbf = Jbf.at[:, 9:15].set(J_bi)
+            Jbf = Jbf.at[:, 24:30].set(J_bj)
+            JWb = (Jbf.T * wb) @ info_bias
+            H = H + JWb @ Jbf
+            g = g + JWb @ rb
+            total = total + huber_cost(chi2_b, HUBER2_BIAS)
+
+            # --- marginal prior on prev ---
+            rpr, J_pvr, J_bias = factors.prior_pvr_bias(
+                nsp.p, nsp.v, nsp.R, nsp.dbg, nsp.dba,
+                ns_prev.p, ns_prev.v, ns_prev.R, ns_prev.dbg, ns_prev.dba,
+            )
+            chi2_pr = rpr @ prior_info @ rpr
+            wpr = huber_weight(chi2_pr, HUBER2_PRIOR) if robust else jnp.asarray(1.0, dtype)
+            Jpr = jnp.zeros((15, 30), dtype)
+            Jpr = Jpr.at[:, 0:9].set(J_pvr)
+            Jpr = Jpr.at[:, 9:15].set(J_bias)
+            JWpr = (Jpr.T * wpr) @ prior_info
+            H = H + JWpr @ Jpr
+            g = g + JWpr @ rpr
+            total = total + huber_cost(chi2_pr, HUBER2_PRIOR)
+
+            # --- depth-projected ternary (the paper's pressure factor) ---
+            if use_depth:
+                rd, Jd_i, Jd_j, Jd_b = factors.depth_projected(
+                    nsp.p, nsp.v, nsp.R, nsc.p, nsp.dbg, nsp.dba,
+                    preint.dP, preint.J_P_bg, preint.J_P_ba, dTij,
+                    depth_meas, shi, gravity_z=-g_z,
+                )
+                chi2_d = (rd[0] ** 2) * depth_info
+                wd = huber_weight(chi2_d, HUBER2_DEPTH) if robust else jnp.asarray(1.0, dtype)
+                Jdf = jnp.zeros((1, 30), dtype)
+                Jdf = Jdf.at[:, 0:9].set(Jd_i)
+                Jdf = Jdf.at[:, 9:15].set(Jd_b)
+                Jdf = Jdf.at[:, 15:24].set(Jd_j)
+                H = H + (Jdf.T * (wd * depth_info)) @ Jdf
+                g = g + (Jdf.T * (wd * depth_info) @ rd)
+                total = total + huber_cost(chi2_d, HUBER2_DEPTH)
+
+            return H, g, total
+        return residual_fn
+
+    def retract(x, dx):
+        nsp, nsc = unpack(x)
+        nsp = nsp.inc_small_pvr(dx[0:9]).inc_small_bias(dx[9:15])
+        nsc = nsc.inc_small_pvr(dx[15:24]).inc_small_bias(dx[24:30])
+        return pack(nsp, nsc)
+
+    x = pack(ns_prev, ns_cur)
+    for rnd in range(rounds):
+        robust = rnd < rounds - 1
+        x, _ = lm_solve(
+            x, residual_fn_builder(inlier, robust), retract, n_iters=iters,
+        )
+        nsp, nsc = unpack(x)
+        rc_, _, _ = factors.reproj_navstate(
+            nsc.p, nsc.R, pts_w, uvs, Rcb, tcb, fx, fy, cx, cy)
+        chi2 = jnp.sum(rc_ * rc_, axis=-1) * inv_sigma2
+        Rbw = jnp.swapaxes(nsc.R, -1, -2)
+        pc_z = (mv(Rcb, mv(Rbw, pts_w - nsc.p)) + tcb)[..., 2]
+        inlier = valid & (chi2 <= CHI2_MONO) & (pc_z > 0)
+
+    nsp, nsc = unpack(x)
+    # Schur marginalization of the previous block: the current state's
+    # marginal information H_cc - H_cp H_pp^-1 H_pc
+    H_full, _, _ = residual_fn_builder(inlier, False)(x)
+    Hpp = H_full[0:15, 0:15] + jnp.eye(15, dtype=dtype) * 1e-6
+    Hcc = H_full[15:30, 15:30]
+    Hcp = H_full[15:30, 0:15]
+    H_marg = Hcc - Hcp @ inv_spd_scaled(Hpp) @ Hcp.T
+    # symmetrize against f32 drift
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    return nsc, inlier, jnp.sum(inlier), H_marg

@@ -10,6 +10,8 @@ import os
 
 
 def enable_persistent_cache(path: str = "/root/.jax_compile_cache") -> None:
+    if os.environ.get("UVIP_NO_CACHE") == "1":
+        return
     import jax
 
     os.makedirs(path, exist_ok=True)

@@ -303,3 +303,56 @@ def velocities_from_positions(
     v = (p_j - kf_p_wb - 0.5 * gravity_w * dt * dt - mv(R_i, dP)) / jnp.maximum(dt, 1e-6)
     nxt_ok = jnp.roll(pair_mask, -1, 0) & (dt[:, 0] > 1e-6)
     return jnp.where(nxt_ok[:, None], v, 0.0)
+
+
+def build_strided_inertial(
+    kf_valid: jax.Array,     # [K]
+    imu_omg: jax.Array,      # [K, S, 3] raw window covering (KF k-1, KF k]
+    imu_acc: jax.Array,      # [K, S, 3]
+    imu_dt: jax.Array,       # [K, S]
+    imu_mask: jax.Array,     # [K, S]
+    stride: int,
+    base: int = 1,
+):
+    """Virtual keyframes at slots base, base+J, base+2J, ... with the raw
+    IMU windows of the intervening slots CONCATENATED, for the VI init
+    solves.
+
+    Why: the triplet identities behind the [s, g] linear solve compare
+    second differences of KF positions against dt^2-scaled preintegration
+    terms. At short KF spacing the position-noise term rivals the signal
+    and, because the noise sits in the REGRESSOR (lam multiplies s), the
+    least squares suffers classic errors-in-variables attenuation — the
+    scale estimate biases LOW (measured 0.46x at 0.15 s spacing). The
+    reference sidesteps this with ~1 s KF spacing over a 22 s window
+    (reference: src/LocalMapping.cc:89-709, time.Init). Striding restores
+    the long-baseline identities: signal grows with dt^2, noise doesn't.
+
+    Returns (sel [KV] i32 slot of each virtual KF, vvalid [KV],
+    omg/acc/dt/mask [KV, J*S, ...] concatenated windows where row v
+    covers (virtual v-1, virtual v]).
+    """
+    K, S = imu_dt.shape
+    J = stride
+    KV = max((K - base) // J, 2)
+    v = jnp.arange(KV, dtype=jnp.int32)
+    sel = base + v * J                          # [KV] anchor slots
+    sel_ok = sel < K
+    sel_c = jnp.clip(sel, 0, K - 1)
+
+    # interval v (v >= 1) = slots sel[v-1]+1 .. sel[v]
+    rows = (base + (v[:, None] - 1) * J) + 1 + jnp.arange(J)[None, :]
+    rows_ok = (v[:, None] >= 1) & (rows >= 0) & (rows < K)
+    rows_c = jnp.clip(rows, 0, K - 1)
+
+    omg = imu_omg[rows_c].reshape(KV, J * S, 3)
+    acc = imu_acc[rows_c].reshape(KV, J * S, 3)
+    dt = (imu_dt[rows_c] * rows_ok[..., None]).reshape(KV, J * S)
+    mask = (imu_mask[rows_c] * rows_ok[..., None]).reshape(KV, J * S)
+
+    # virtual KF valid: its anchor and all interval slots valid
+    interval_valid = jnp.all(
+        jnp.where(rows_ok, kf_valid[rows_c], v[:, None] >= 1), axis=1)
+    vvalid = sel_ok & kf_valid[sel_c] & (
+        (v == 0) | interval_valid)
+    return sel_c, vvalid, omg, acc, dt, mask
