@@ -23,7 +23,16 @@
 #include <vector>
 
 #if defined(HAVE_BZ2)
+#if defined(HAVE_BZLIB_H)
 #include <bzlib.h>
+#else
+// libbz2's runtime .so is present without dev headers on this image;
+// the decompress entry point has a stable C ABI since bzip2 1.0
+extern "C" int BZ2_bzBuffToBuffDecompress(
+    char* dest, unsigned int* destLen, char* source, unsigned int sourceLen,
+    int small, int verbosity);
+#define BZ_OK 0
+#endif
 #endif
 
 namespace {

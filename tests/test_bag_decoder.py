@@ -147,3 +147,67 @@ def test_rejects_garbage(tmp_path, built_lib):
         f.write(b"not a bag at all")
     with pytest.raises(ValueError):
         read_bag(p, "/a", "/b", "/c")
+
+
+def write_tiny_bag_bz2(path):
+    """Same content as write_tiny_bag but with a BZ2-compressed chunk —
+    the format real Aqualoc/EuRoC recordings use (`rosbag record`
+    defaults to bz2/lz4; the reference plays such bags directly,
+    src/Tracking.cc:192-246)."""
+    import bz2
+
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 255, (24, 32)).astype(np.uint8) for _ in range(3)]
+    conns = {
+        0: (b"/camera/image_raw", b"sensor_msgs/Image"),
+        1: (b"/imu", b"sensor_msgs/Imu"),
+        2: (b"/depth", b"sensor_msgs/FluidPressure"),
+    }
+    chunk = b""
+    for cid, (topic, typ) in conns.items():
+        conn_hdr = _field("topic", topic) + _field("type", typ) + \
+            _field("md5sum", b"x" * 32) + _field("message_definition", b"")
+        chunk += _record(
+            {"op": b"\x07", "conn": struct.pack("<I", cid), "topic": topic},
+            conn_hdr,
+        )
+    msgs = []
+    for i, img in enumerate(imgs):
+        t = 100.0 + 0.05 * i
+        msgs.append((t, 0, _image_msg(t, img)))
+    for i in range(20):
+        t = 100.0 + 0.0075 * i
+        msgs.append((t, 1, _imu_msg(t, (0.01 * i, 0.0, -0.02), (0.1, 0.2, 9.8))))
+    for i in range(5):
+        t = 100.0 + 0.03 * i
+        msgs.append((t, 2, _pressure_msg(t, 1.5 + 0.01 * i)))
+    msgs.sort(key=lambda m: m[0])
+    for t, cid, data in msgs:
+        chunk += _record(
+            {"op": b"\x02", "conn": struct.pack("<I", cid), "time": _ros_time(t)},
+            data,
+        )
+
+    comp = bz2.compress(chunk)
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        bh = _record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                      "conn_count": struct.pack("<I", 3),
+                      "chunk_count": struct.pack("<I", 1)}, b" " * 128)
+        f.write(bh)
+        f.write(_record({"op": b"\x05", "compression": b"bz2",
+                         "size": struct.pack("<I", len(chunk))}, comp))
+    return imgs
+
+
+def test_decode_bz2_chunk_bag(tmp_path, built_lib):
+    from uvipslam_tpu.io.bag import read_bag
+
+    path = str(tmp_path / "tiny_bz2.bag")
+    imgs = write_tiny_bag_bz2(path)
+    bag = read_bag(path, "/camera/image_raw", "/imu", "/depth")
+    assert bag.images.shape == (3, 24, 32)
+    np.testing.assert_array_equal(bag.images[0], imgs[0])
+    np.testing.assert_array_equal(bag.images[2], imgs[2])
+    assert bag.imu.shape == (20, 7)
+    assert bag.pressure.shape == (5, 3)

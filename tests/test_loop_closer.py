@@ -151,3 +151,34 @@ def test_stored_retrieval_vectors_match_on_demand():
         h = haloc.compute_hash(m.kf_feat_desc[k], m.kf_feat_valid[k])
         np.testing.assert_allclose(np.asarray(m.kf_hash[k]), np.asarray(h),
                                    rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_tracker_with_loop_closing_flag():
+    """Pipeline wiring smoke: MonoTracker with LoopC on runs per-KF
+    detection/consistency without disturbing tracking on a loop-free
+    sequence (reference: LoopClosing fed by InsertKeyFrame when LoopC,
+    src/LocalMapping.cc:850-852)."""
+    from uvipslam_tpu.frontend.tracker import MonoTracker, TrackerConfig
+    from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence
+    from uvipslam_tpu.models.camera import CameraModel
+
+    with jax.enable_x64(False):
+        seq = make_sequence(n_frames=30, H=240, W=320, n_points=2500,
+                            seed=3, speed=1.2)
+        cam = CameraModel.create(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
+                                 seq.K[1, 2], width=320, height=240)
+        cfg = TrackerConfig(n_tracks=200, min_init_tracks=60,
+                            local_window=6, loop_closing=True)
+        tr = MonoTracker(cam, cfg, kf_cap=32, pt_cap=4096)
+        for f in range(30):
+            tr.process_frame(seq.images[f])
+        assert tr.loop_closer is not None
+        # no false loop on a loop-free arc
+        assert tr.loop_closer.n_closed == 0
+        est = tr.trajectory_positions()
+        ids = [i for i, _, _ in tr.trajectory]
+        gt = seq.positions_w[ids]
+        rmse, _ = ate_rmse(est, gt)
+        span = np.linalg.norm(gt[-1] - gt[0])
+        assert rmse < 0.05 * span, (rmse, span)

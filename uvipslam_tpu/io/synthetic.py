@@ -83,8 +83,14 @@ def make_sequence(
     depth_noise: float = 0.05,
     sprite: int = 9,
     z_amp: float = 0.1,
+    image_noise_seed: int | None = None,
 ) -> SyntheticSequence:
     rs = np.random.RandomState(seed)
+    # separate stream for per-pixel image noise so two renders of the
+    # SAME scene/trajectory can differ only in sensor noise (retrieval-
+    # quality tests re-render revisited viewpoints this way)
+    rs_img = np.random.RandomState(seed if image_noise_seed is None
+                                   else image_noise_seed)
     fx = fy = 0.65 * W
     cx, cy = W / 2.0, H / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
@@ -194,7 +200,7 @@ def make_sequence(
             if y1 <= y0 or x1 <= x0:
                 continue
             img[y0:y1, x0:x1] = s_shift[y0 - iv : y1 - iv, x0 - iu : x1 - iu]
-        images[f] = img + rs.randn(H, W).astype(np.float32) * 1.0
+        images[f] = img + rs_img.randn(H, W).astype(np.float32) * 1.0
 
     # ---- IMU (body frame == camera frame) ----
     n_sub = max(1, int(round(imu_rate / fps)))

@@ -8,16 +8,14 @@ so the only cross-chip communication is the metric reduction (psum over
 ICI) — embarrassingly parallel by design, exactly what the hardware
 wants.
 
-`sharded_frontend_step` is the demonstrator used by the multi-chip
-dry-run: per stream it runs the full front-end compute (CLAHE -> ORB
-extract -> Hamming match -> pose optimization) and reduces a fleet
-metric across chips.
+`batched_replay` is what the multi-chip dry-run and the CPU-mesh test
+exercise: the FULL device-tracker step vmapped over streams and scanned
+over frames, stream axis sharded over the mesh.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -93,52 +91,3 @@ def batched_replay(cam, cfg, kf_cap: int, pt_cap: int, mesh: Mesh,
         return shard_stream_axis(mesh, batched, axis)
 
     return make_states, run
-
-
-def _one_stream_step(img, prev_desc, prev_valid, pts_w, uvs, key):
-    """One stream's frame step: enhance, extract, match, pose-solve."""
-    from uvipslam_tpu.ops.clahe import clahe
-    from uvipslam_tpu.ops.hamming import match_best
-    from uvipslam_tpu.ops.orb import extract_orb
-    from uvipslam_tpu.solver.pose_opt import pose_optimization_se3
-
-    enh = clahe(img)
-    feats = extract_orb(
-        enh, jnp.zeros((1, 2)), jnp.zeros(1, bool),
-        n_features=prev_desc.shape[0],
-    )
-    idx, dist, ok = match_best(feats.desc, prev_desc, feats.valid, prev_valid,
-                               max_dist=64.0, ratio=0.9)
-    # tie the initial pose to stream data so the LM scan carry is
-    # device-varying under shard_map (vma rules)
-    zero_var = 0.0 * img[0, 0]
-    R, t, inl, n_in = pose_optimization_se3(
-        jnp.eye(3) + zero_var, jnp.zeros(3) + zero_var, pts_w, uvs, feats.valid,
-        jnp.ones(uvs.shape[0]), 208.0, 208.0,
-        img.shape[1] / 2.0, img.shape[0] / 2.0,
-        rounds=2, iters=4,
-    )
-    return feats.desc, feats.valid, R, t, (n_in + jnp.sum(ok)).astype(jnp.float32)
-
-
-def sharded_frontend_step(mesh: Mesh, axis: str = "stream"):
-    """Build the pjit-ed multi-stream step: inputs sharded over `axis`,
-    per-stream compute vmapped, fleet metric psum-reduced over ICI."""
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        # the per-stream body contains LM scans whose carries mix
-        # replicated inits with varying data; skip the static vma check
-        # (semantics unchanged — everything is stream-local + one psum)
-        check_vma=False,
-    )
-    def step(imgs, prev_desc, prev_valid, pts_w, uvs, keys):
-        descs, valids, Rs, ts, metrics = jax.vmap(_one_stream_step)(
-            imgs, prev_desc, prev_valid, pts_w, uvs, keys
-        )
-        fleet_metric = jax.lax.psum(jnp.sum(metrics), axis)
-        return descs, valids, Rs, ts, fleet_metric[None]
-
-    return jax.jit(step)
