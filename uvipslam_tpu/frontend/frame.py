@@ -104,7 +104,10 @@ def propagate_tracks(
     """
     # dominant inter-frame translation from 1/4-res images: the capture-
     # range provider for tracks without a motion-model guess
-    lvl = min(2, len(pyr_prev) - 1)
+    # level 3 (1/8 res): +-64 px capture range at full res with 8 px
+    # quantization — well inside the half-res anchor stage's +-10 px
+    # capture, at 1/4 the FFT cost of level 2
+    lvl = min(3, len(pyr_prev) - 1)
     shift = global_shift(pyr_prev[lvl], pyr_cur[lvl], radius=8) * float(2 ** lvl)
     start = jnp.where(guess_ok[:, None], guess_xy, tracks.xy + shift[None, :])
 

@@ -185,6 +185,9 @@ def _extract_patches(img: jax.Array, pts: jax.Array, psize: int):
     """Per-feature [psize, psize] patches whose top-left integer corner is
     floor(pts) - psize//2, via two chained dynamic-slices (row block then
     column block) — coalesced vector loads instead of scalar gathers.
+    (Measured: a direct [N, P, P] element gather is 2x SLOWER on TPU than
+    this slab form despite the [N, P, W] intermediate — TPU gathers are
+    scalar-indexed, the slices are vector loads.)
     Returns (patches [N, P, P], local [N, 2] fractional feature position
     inside the patch)."""
     H, W = img.shape
