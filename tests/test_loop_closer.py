@@ -31,17 +31,36 @@ def build_looped_map(K=10, P=256, drift=0.4, seed=0):
     drift_last = np.asarray(est_C[-1]) - np.asarray(true_C[-1])
 
     # landmark table: slots 64:128 are the revisit's drifted duplicates
-    # of slots 0:64 (same descriptors, shifted positions)
+    # of slots 0:64 (same descriptors, shifted positions); mid-trajectory
+    # landmarks (slots 128+) carry the drift of their FIRST observing
+    # keyframe — real drift is locally consistent (reprojection residuals
+    # near zero) and only accumulates globally, so observations must
+    # agree with the drifted point+pose pair, not with the truth
     pts_tab = pts.copy()
     pts_tab[64:128] = pts[:64] + drift_last
+    drift_of = lambda k: np.array([drift, -drift / 2, 0.0]) * (k / K)
+    first_obs = np.full(P, -1, int)
+    for k in range(1, K - 1):
+        ids_k = np.arange(64) + 128 + (k * 8) % (P - 192)
+        for i in ids_k:
+            if first_obs[i] < 0:
+                first_obs[i] = k
+    for i in range(128, P):
+        if first_obs[i] >= 0:
+            pts_tab[i] = pts[i] + drift_of(first_obs[i])
     descs_tab = descs.copy()
     descs_tab[64:128] = descs[:64]
+    # ref KF = first observer, as the tracker's triangulation sets it
+    # (correct_points_after_pose_graph moves each point with its ref KF)
+    ref_kf = np.zeros(P, np.int32)
+    ref_kf[64:128] = K - 1
+    ref_kf[128:] = np.where(first_obs[128:] >= 0, first_obs[128:], 0)
     m = dataclasses.replace(
         m,
         pt_xyz=jnp.asarray(pts_tab.astype(np.float32)),
         pt_desc=jnp.asarray(descs_tab),
         pt_valid=jnp.ones((P,), bool),
-        pt_ref_kf=jnp.zeros((P,), jnp.int32).at[64:128].set(K - 1),
+        pt_ref_kf=jnp.asarray(ref_kf),
         n_pt=jnp.asarray(P, jnp.int32),
     )
 
@@ -106,15 +125,14 @@ def test_loop_closer_consistency_gating_and_correction():
     from uvipslam_tpu.loop.closer import LoopCloser
 
     m, true_C, est_C = build_looped_map(K=12, drift=0.4)
-    # KFs 9, 10, 11 all revisit the start: give them the revisit KF's
-    # duplicate landmark block so detection fires repeatedly with
-    # overlapping covisibility groups
+    # KFs 9 and 10 approach the revisit: give them the revisit KF's
+    # RETRIEVAL vectors only (BoW + haloc), so detection fires repeatedly
+    # with overlapping candidate covisibility groups while their feature
+    # geometry stays physically consistent (overwriting feat_pt/desc too
+    # would fabricate impossible observations that the post-loop BA
+    # rightly explodes on)
     m = dataclasses.replace(
         m,
-        kf_feat_pt=m.kf_feat_pt.at[9].set(m.kf_feat_pt[11])
-                               .at[10].set(m.kf_feat_pt[11]),
-        kf_feat_desc=m.kf_feat_desc.at[9].set(m.kf_feat_desc[11])
-                                   .at[10].set(m.kf_feat_desc[11]),
         kf_bow=m.kf_bow.at[9].set(m.kf_bow[11]).at[10].set(m.kf_bow[11]),
         kf_hash=m.kf_hash.at[9].set(m.kf_hash[11]).at[10].set(m.kf_hash[11]),
     )
@@ -182,3 +200,47 @@ def test_tracker_with_loop_closing_flag():
         rmse, _ = ate_rmse(est, gt)
         span = np.linalg.norm(gt[-1] - gt[0])
         assert rmse < 0.05 * span, (rmse, span)
+
+
+@pytest.mark.slow
+def test_tracker_closes_loop_on_revisit():
+    """Tracker-level loop closure on a trajectory that re-crosses its own
+    path: detection fires on a genuine geometric revisit, the Sim3
+    verifies, the map is corrected + fused + globally re-adjusted, and
+    tracking continues consistently (drift-reduction efficacy is covered
+    by test_sim3_and_correction on a map with real accumulated drift —
+    on this low-drift run the assertion is consistency, as correction
+    noise ~ drift)."""
+    from tests._isolate import isolated as _iso  # noqa: F401 (doc only)
+    from uvipslam_tpu.frontend.tracker import MonoTracker, TrackerConfig
+    from uvipslam_tpu.io.synthetic import ate_rmse, make_sequence
+    from uvipslam_tpu.models.camera import CameraModel
+
+    with jax.enable_x64(False):
+        seq = make_sequence(n_frames=80, H=240, W=320, n_points=3500,
+                            seed=9, motion="loop", speed=1.8)
+        cam = CameraModel.create(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
+                                 seq.K[1, 2], width=320, height=240)
+        tr = MonoTracker(
+            cam, TrackerConfig(n_tracks=200, min_init_tracks=60,
+                               local_window=6, loop_closing=True),
+            kf_cap=64, pt_cap=8192)
+        for f in range(80):
+            st = tr.process_frame(seq.images[f])
+        assert st.get("state") == "WORKING"
+        assert tr.loop_closer.n_closed >= 1, "no loop closed on revisit"
+
+        # the closed pair must be a genuine geometric revisit
+        qf, loop_kf = tr.loop_events[0]
+        q_gt = seq.positions_w[qf]
+        l_gt = seq.positions_w[int(tr.map.kf_frame_id[loop_kf])]
+        assert np.linalg.norm(q_gt - l_gt) < 0.6, (q_gt, l_gt)
+
+        # corrected map stays consistent
+        m = tr.map
+        nk = int(m.n_kf)
+        kfp = np.asarray(m.kf_ns.p[:nk])
+        kfgt = seq.positions_w[np.asarray(m.kf_frame_id[:nk])]
+        kfrmse, _ = ate_rmse(kfp, kfgt)
+        span = np.abs(kfgt[:, 0]).max()
+        assert kfrmse < 0.05 * span, (kfrmse, span)

@@ -115,6 +115,16 @@ def make_sequence(
             cy_w = 0.20 * np.sin(1.3 * t + 1.0)
             cz_w = z_amp * np.sin(0.9 * t)
             yaw = 0.12 * np.sin(0.4 * t)
+        elif motion == "loop":
+            # out-and-back revisit: x = 2A sin^2(pi t / T) returns to the
+            # start pose at t = T with the same heading and zero velocity
+            # (loop-closure test trajectory)
+            t_end = (n_frames - 1) * dt_img
+            amp = speed * t_end / np.pi
+            cx_w = 2.0 * amp * np.sin(np.pi * t / t_end) ** 2
+            cy_w = 0.1 * np.sin(2 * np.pi * t / t_end)
+            cz_w = z_amp * np.sin(0.5 * t)
+            yaw = 0.0
         else:  # forward
             cx_w, cy_w, cz_w, yaw = 0.0, 0.0, speed * t, 0.0
         centers.append([cx_w, cy_w, cz_w])
@@ -230,6 +240,14 @@ def make_sequence(
                 speed * t + 0.25 * np.sin(2.0 * t),
                 0.20 * np.sin(1.3 * t + 1.0),
                 z_amp * np.sin(0.9 * t),
+            ])
+        if motion == "loop":
+            t_end = (n_frames - 1) * dt_img
+            amp = speed * t_end / np.pi
+            return np.array([
+                2.0 * amp * np.sin(np.pi * t / t_end) ** 2,
+                0.1 * np.sin(2 * np.pi * t / t_end),
+                z_amp * np.sin(0.5 * t),
             ])
         return np.array([0.0, 0.0, speed * t])
 

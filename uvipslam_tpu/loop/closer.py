@@ -87,17 +87,18 @@ def min_covisible_score(m: MapState, query_kf: int, covis_th: int = 15):
 def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
                       fx, fy, cx, cy, min_inliers: int = 20):
     """Match landmarks between two keyframes and solve the relative Sim3
-    (reference: ComputeSim3 — SearchByBoW + Sim3Solver RANSAC +
-    OptimizeSim3 with >= 20 inlier acceptance).
-    Returns (ok, s, R, t) with (s, R, t) mapping kf_b-camera coords to
+    (reference: ComputeSim3 — SearchByBoW matches -> Sim3Solver RANSAC ->
+    OptimizeSim3 -> Sim3-guided projection search extends the matches ->
+    final >= `min_inliers` acceptance, src/LoopClosing.cc:364-537).
+    Returns (ok, s, R, t, n) with (s, R, t) mapping kf_b-camera coords to
     kf_a-camera coords."""
     da, va = m.kf_feat_desc[kf_a], m.kf_feat_valid[kf_a] & (m.kf_feat_pt[kf_a] >= 0)
     db, vb = m.kf_feat_desc[kf_b], m.kf_feat_valid[kf_b] & (m.kf_feat_pt[kf_b] >= 0)
+    # appearance matches feed RANSAC directly — no mutual cross-check
+    # (the reference's SearchByBoW doesn't cross-check either; the Sim3
+    # RANSAC is the outlier filter)
     idx, dist, ok = hamming.match_best(da, db, va, vb,
                                        max_dist=hamming.TH_HIGH, ratio=0.9)
-    idx_b, _, ok_b = hamming.match_best(db, da, vb, va,
-                                        max_dist=hamming.TH_HIGH, ratio=0.9)
-    ok = hamming.mutual_filter(idx, ok, idx_b, ok_b)
     # rotation-consistency gate (reference: SearchByBoW's orientation
     # histogram inside ComputeSim3's matching, src/ORBmatcher.cc:155)
     ok = hamming.rotation_consistency(
@@ -118,11 +119,43 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     s, R, t, inl, n_in = sim3_ransac(key, Xb, Xa, good, fx, fy, cx, cy)
 
     # GN refinement with paired reprojection edges + re-gate (reference:
-    # OptimizeSim3 >= 20 inlier acceptance after refinement)
+    # OptimizeSim3, src/Optimizer.cc:2660)
     uv_b = m.kf_feat_xy[kf_b][jnp.clip(idx, 0, m.n_feat - 1)]
     uv_a = m.kf_feat_xy[kf_a]
     s, R, t, inl, n_in = optimize_sim3(
         s, R, t, Xb, Xa, uv_b, uv_a, inl & good, fx, fy, cx, cy)
+
+    # Sim3-guided extension (reference: SearchByProjection(Scw) :512):
+    # project ALL of b's landmark features into a's camera through the
+    # refined Sim3 and window-match the appearance — recovers the
+    # correspondences the ratio test dropped
+    pid_b_all = m.kf_feat_pt[kf_b]
+    Xb_all = mv(Rb, m.pt_xyz[jnp.clip(pid_b_all, 0, m.pt_cap - 1)]) + tb
+    Xb_in_a = s * mv(R, Xb_all) + t
+    z = Xb_in_a[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    proj = jnp.stack([fx * Xb_in_a[:, 0] / zs + cx,
+                      fy * Xb_in_a[:, 1] / zs + cy], -1)
+    pair = hamming.window_mask(m.kf_feat_xy[kf_a], proj, 9.0) & (z > 0.1)[None, :]
+    idx2, dist2, ok2 = hamming.match_best(
+        da, db, va, vb & (pid_b_all >= 0), pair_mask=pair,
+        max_dist=hamming.TH_HIGH, ratio=1.0)
+    # union: RANSAC inliers keep their match; unmatched a-features adopt
+    # the guided match
+    use2 = ok2 & ~(inl & good)
+    idx_u = jnp.where(use2, idx2, idx)
+    good_u = (inl & good) | use2
+    pid_b_u = m.kf_feat_pt[kf_b][jnp.clip(idx_u, 0, m.n_feat - 1)]
+    good_u = good_u & (pid_a >= 0) & (pid_b_u >= 0)
+    Xb_u = mv(Rb, m.pt_xyz[jnp.clip(pid_b_u, 0, m.pt_cap - 1)]) + tb
+    uv_b_u = m.kf_feat_xy[kf_b][jnp.clip(idx_u, 0, m.n_feat - 1)]
+    s2, R2, t2, inl2, n2 = optimize_sim3(
+        s, R, t, Xb_u, Xa, uv_b_u, uv_a, good_u, fx, fy, cx, cy)
+    # adopt the extended solve only if it strictly gains support — on
+    # ambiguous content the window search can add wrong matches that
+    # drag the refinement off
+    if int(n2) > int(n_in):
+        s, R, t, n_in = s2, R2, t2, n2
     return int(n_in) >= min_inliers, s, R, t, int(n_in)
 
 
@@ -261,6 +294,15 @@ class LoopCloser:
             m = close_loop(m, query_kf, c, s, R, t)
             from uvipslam_tpu.mapstate.hygiene import fuse_duplicates
             m = fuse_duplicates(m)
+            # polish with a full visual BA (reference: LoopClosing spawns
+            # RunGlobalBundleAdjustment after CorrectLoop,
+            # src/LoopClosing.cc:691) — the pose graph distributes the
+            # loop error, the BA re-grounds it in the reprojections
+            from uvipslam_tpu.solver.global_ba import global_ba_visual
+            m = global_ba_visual(
+                m, self.fx, self.fy, self.cx, self.cy,
+                jnp.asarray([1.2 ** (2 * i) for i in range(8)], jnp.float32),
+            )
             self.last_loop_kf = query_kf
             self.n_closed += 1
             self.consistent_groups = []

@@ -95,10 +95,18 @@ def rotation_consistency(
     idx_ab: jax.Array,
     ok: jax.Array,
     n_keep_bins: int = 3,
+    min_top_fraction: float = 0.35,
 ) -> jax.Array:
     """Keep matches whose orientation difference falls in the 3 dominant
     histogram bins (reference: ORBmatcher::ComputeThreeMaxima +
-    mbCheckOrientation, src/ORBmatcher.cc)."""
+    mbCheckOrientation, src/ORBmatcher.cc).
+
+    Adaptive: if the dominant bins hold < `min_top_fraction` of the
+    matches, the orientation signal is uninformative (e.g. weak-gradient
+    content where the IC angle is noise) and the gate passes everything —
+    on real imagery with consistent camera roll the top-3 bins hold the
+    large majority, so the reference behavior is preserved exactly when
+    it matters."""
     nb = angle_b.shape[0]
     rot = angle_a - angle_b[jnp.clip(idx_ab, 0, nb - 1)]
     # wrap to [0, 2pi)
@@ -106,9 +114,11 @@ def rotation_consistency(
     rot = jnp.mod(rot, two_pi)
     bins = jnp.clip((rot * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
     hist = jnp.zeros((HISTO_BINS,), jnp.float32).at[bins].add(jnp.where(ok, 1.0, 0.0))
-    _, top_bins = jax.lax.top_k(hist, n_keep_bins)
+    topv, top_bins = jax.lax.top_k(hist, n_keep_bins)
     in_top = (bins[:, None] == top_bins[None, :]).any(axis=1)
-    return ok & in_top
+    informative = jnp.sum(topv) >= min_top_fraction * jnp.maximum(
+        jnp.sum(hist), 1.0)
+    return ok & (in_top | ~informative)
 
 
 def window_mask(
