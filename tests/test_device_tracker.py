@@ -54,3 +54,47 @@ def test_device_tracker_end_to_end():
     # map grew on device
     assert int(st.map.n_kf) >= 5
     assert int(st.map.pt_valid.sum()) >= 150
+
+
+@pytest.mark.slow
+@isolated
+def test_device_tracker_relocalizes_after_blackout():
+    """The device-resident LOST branch must recover tracking via the
+    on-device relocalization (reference: Tracking::Relocalisation)."""
+    from uvipslam_tpu.frontend.tracker import LOST, WORKING as W
+
+    seq = make_sequence(n_frames=40, H=240, W=320, n_points=2500, seed=3,
+                        speed=1.2)
+    cam = CameraModel.create(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2],
+                             seq.K[1, 2], width=320, height=240)
+    cfg = TrackerConfig(n_tracks=200, min_init_tracks=60, local_window=6)
+    st, step = build_tracker(cam, cfg, kf_cap=32, pt_cap=4096)
+
+    for f in range(28):
+        st, out = step(st, jnp.asarray(seq.images[f], jnp.float32))
+    assert int(out.state) == W
+
+    black = jnp.zeros_like(jnp.asarray(seq.images[0], jnp.float32))
+    for _ in range(3):
+        st, out = step(st, black)
+    assert int(out.state) == LOST
+
+    # revisit the latest keyframe's own view
+    kf_frames = np.asarray(st.map.kf_frame_id[: int(st.map.n_kf)])
+    reloc_frame = int(kf_frames[-1])
+    relocalized = False
+    for _ in range(3):
+        st, out = step(st, jnp.asarray(seq.images[reloc_frame], jnp.float32))
+        if int(out.state) == W:
+            relocalized = True
+            break
+    assert relocalized, int(out.state)
+
+    # pose agrees with where that frame was originally tracked
+    ns_k = jax.tree_util.tree_map(lambda a: a[int(st.map.n_kf) - 1],
+                                  st.map.kf_ns)
+    C_kf = np.asarray(ns_k.p)
+    R = np.asarray(out.Rcw)
+    t = np.asarray(out.tcw)
+    C = -R.T @ t
+    assert np.linalg.norm(C - C_kf) < 0.15, (C, C_kf)

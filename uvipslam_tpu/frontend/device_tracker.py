@@ -280,7 +280,64 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
 
     # ------------------------------------------------------------------
     def branch_lost(st: TrackerState, img) -> TrackerState:
-        return st
+        """Device-resident relocalization (reference:
+        Tracking::Relocalisation, src/Tracking.cc:2373-2534 — BoW
+        candidates -> PnP RANSAC -> projection re-association -> accept
+        on inlier count). Fresh detection, retrieval against the stored
+        per-KF BoW vectors, PnP seed + best-candidate-KF seed, both
+        refined by the pose+local-map solve; the better one wins."""
+        from uvipslam_tpu.frontend.frame import refill_tracks as _refill
+        from uvipslam_tpu.loop.reloc import relocalize_frame
+
+        key, sub = jax.random.split(st.key)
+        fresh = _refill(Tracks.empty(cfg.n_tracks), img, st.frame_id,
+                        n_features=cfg.n_tracks, px_distance=cfg.px_distance)
+        fresh = refresh_descriptors(fresh, img)
+        fresh = undistort(fresh)
+
+        R0, t0, pt_id, n_pnp, top_kfs = relocalize_frame(
+            fresh, st.map, sub, cam.fx, cam.fy, cam.cx, cam.cy)
+        fresh = dataclasses.replace(
+            fresh, pt_id=pt_id,
+            birth_frame=jnp.full_like(fresh.birth_frame, st.frame_id),
+            birth_xy_und=fresh.xy_und,
+        )
+
+        # seed A: the PnP consensus pose; seed B: the best candidate
+        # keyframe's own pose (recall comes from the projection search)
+        ns_k = jax.tree_util.tree_map(lambda a: a[top_kfs[0]], st.map.kf_ns)
+        Rk, tk = _ns_to_cam_pose(ns_k)
+        use_pnp = n_pnp >= 6
+        Ra = jnp.where(use_pnp, lie.normalize_rotation(R0), Rk)
+        ta = jnp.where(use_pnp, t0, tk)
+
+        R1, t1, _, n1, tr1 = _pose_and_localmap_jit(
+            fresh, st.map, Ra, ta, cam.fx, cam.fy, cam.cx, cam.cy,
+            scale_sigmas)
+        R2, t2, _, n2, tr2 = _pose_and_localmap_jit(
+            fresh, st.map, Rk, tk, cam.fx, cam.fy, cam.cx, cam.cy,
+            scale_sigmas)
+        pick1 = n1 >= n2
+        Rb = jnp.where(pick1, R1, R2)
+        tb = jnp.where(pick1, t1, t2)
+        nb = jnp.maximum(n1, n2)
+        trb = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(pick1, a, b_), tr1, tr2)
+
+        ok = nb >= max(cfg.min_tracked, 15)
+
+        def accept(op):
+            st, trb, Rb, tb = op
+            return dataclasses.replace(
+                st, tracks=trb,
+                Rcw=lie.normalize_rotation(Rb), tcw=tb,
+                R_vel=jnp.eye(3, dtype=jnp.float32),
+                t_vel=jnp.zeros(3, jnp.float32),
+                state=jnp.asarray(WORKING, jnp.int32),
+            )
+
+        st2 = jax.lax.cond(ok, accept, lambda op: op[0], (st, trb, Rb, tb))
+        return dataclasses.replace(st2, key=key)
 
     # ------------------------------------------------------------------
     def step(st: TrackerState, img) -> tuple[TrackerState, StepOut]:
