@@ -85,7 +85,8 @@ def main(argv=None):
         from uvipslam_tpu.frontend.tracker import MonoTracker, TrackerConfig
         cfg = TrackerConfig(n_tracks=s.n_features, px_distance=s.px_distance,
                             local_window=s.local_window_size,
-                            enhance=bool(s.enhance))
+                            enhance=bool(s.enhance),
+                            loop_closing=bool(s.loop_closing))
         tr = MonoTracker(cam, cfg)
         for f in range(n_frames):
             tr.process_frame(bundles["images"][f])
@@ -93,7 +94,8 @@ def main(argv=None):
         from uvipslam_tpu.frontend.vip_tracker import VipConfig, VipTracker
         cfg = VipConfig(n_tracks=s.n_features, px_distance=s.px_distance,
                         local_window=s.local_window_size,
-                        enhance=bool(s.enhance), **imu_cfg)
+                        enhance=bool(s.enhance),
+                        loop_closing=bool(s.loop_closing), **imu_cfg)
         tr = VipTracker(cam, cfg)
         for f in range(n_frames):
             tr.process_frame_vip(
