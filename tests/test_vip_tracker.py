@@ -196,3 +196,10 @@ def test_vip_recovery_after_blackout():
     # z still locked by pressure through the recovery
     z_err = np.abs(est[sel][:, 2] - gt[sel][:, 2])
     assert np.median(z_err) < 0.15, np.median(z_err)
+
+    # the post-recovery bias recompute ran (the schedule was consumed)
+    # and re-estimated the gyro bias in the right range
+    assert getattr(tr, "_reloc_bias_after_kf", "unset") in (None, "unset") or \
+        tr._reloc_bias_after_kf is None
+    bg = np.asarray(tr.ns.bg)
+    assert np.linalg.norm(bg) < 0.1, bg

@@ -330,8 +330,51 @@ class VipTracker(MonoTracker):
         # reference to the new KF on map update, src/Tracking.cc:1099)
         if self.vio_ok:
             self._reset_marginal_prior()
-        if not self.vio_ok:
+            pending = getattr(self, "_reloc_bias_after_kf", None)
+            if pending is not None and int(self.map.n_kf) >= pending:
+                self._recompute_bias_after_recovery()
+                self._reloc_bias_after_kf = None
+        else:
             self._maybe_init_vio()
+
+    # ------------------------------------------------------------------
+    def _recompute_bias_after_recovery(self, window: int = 6):
+        """Post-recovery gyro-bias re-estimation over the fresh keyframe
+        chain (reference: RecomputeIMUBiasAndCurrentNavstate,
+        src/Tracking.cc:2843-3011 — after relocalization the reference
+        collects a 10-frame window and re-solves the biases; here the
+        recovery sub-map's keyframes provide the window). The
+        accelerometer bias is left at its random-walk estimate (the VI
+        window BA's bias edges keep refining it)."""
+        m = self.map
+        z3 = jnp.zeros(3, jnp.float32)
+        pre0 = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, z3, z3,
+                self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+        )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
+        ks = jnp.arange(m.kf_cap)
+        pair = (m.kf_valid & (m.kf_prev >= 0) & (ks >= m.n_kf - window)
+                & (ks < m.n_kf) & (pre0.dt > 1e-6))
+        if int(jnp.sum(pair)) < 2:
+            return
+        bg = vio_init.estimate_gyro_bias(m.kf_ns.R, pre0.dR, pre0.J_R_bg, pair)
+        if not bool(jnp.all(jnp.isfinite(bg))) or float(jnp.linalg.norm(bg)) > 0.5:
+            return
+        # adopt as the new linearization point (zero delta) and
+        # re-integrate the stored keyframe preints at it
+        pre2 = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, bg, self.ns.ba,
+                self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+        )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
+        kf_ns = dataclasses.replace(
+            m.kf_ns,
+            bg=jnp.broadcast_to(bg, m.kf_ns.bg.shape),
+            dbg=jnp.zeros_like(m.kf_ns.dbg),
+        )
+        self.map = dataclasses.replace(m, kf_ns=kf_ns, kf_preint=pre2)
+        self.ns = dataclasses.replace(self.ns, bg=bg, dbg=z3)
 
     def _reset_kf_accumulators(self):
         S = self.kf_imu["dt"].shape[0]
@@ -520,6 +563,11 @@ class VipTracker(MonoTracker):
         self.ring_frame = self.ring_frame.at[slot1].set(self.frame_id)
         self.state = WORKING
         self._reset_marginal_prior()
+        # schedule the post-recovery bias recompute once enough fresh
+        # keyframes exist (reference: mbRelocBiasPrepare 10-frame window
+        # + RecomputeIMUBiasAndCurrentNavstate, src/Tracking.cc:735-764,
+        # 2843-3011)
+        self._reloc_bias_after_kf = int(self.map.n_kf) + 3
         self.trajectory.append(
             (self.frame_id, np.asarray(self.Rcw), np.asarray(self.tcw)))
         status.update(state="WORKING", recovery="re-initialized",
