@@ -132,3 +132,36 @@ class TestHygiene:
         assert v[0] and not v[1] and v[2], v[:3]
         assert int(m2.kf_feat_pt[0, 0]) == 0
         assert int(m2.kf_feat_pt[0, 1]) == 2
+
+    def test_compact_points(self):
+        """Slot recycling: valid landmarks pack to the front, n_pt resets
+        to the live count, observations and the remap stay consistent."""
+        from uvipslam_tpu.mapstate.hygiene import compact_points
+
+        rs = np.random.RandomState(2)
+        m = MapState.empty(2, 16, 8)
+        xyz = rs.uniform(-1, 1, (16, 3)).astype(np.float32)
+        valid = np.zeros(16, bool)
+        valid[[1, 4, 5, 9]] = True
+        m = dataclasses.replace(
+            m,
+            pt_xyz=jnp.asarray(xyz),
+            pt_valid=jnp.asarray(valid),
+            pt_first_frame=jnp.arange(16, dtype=jnp.int32),
+            n_pt=jnp.asarray(12, jnp.int32),
+        )
+        # observations of live points 4 and 9, and a dangling ref to dead 2
+        kf_feat_pt = m.kf_feat_pt.at[0, 0].set(4).at[0, 1].set(9).at[1, 0].set(2)
+        m = dataclasses.replace(m, kf_feat_pt=kf_feat_pt)
+        m2, remap = compact_points(m)
+        assert int(m2.n_pt) == 4
+        v = np.asarray(m2.pt_valid)
+        assert v[:4].all() and not v[4:].any()
+        # geometry follows the landmark into its new slot
+        for old in [1, 4, 5, 9]:
+            new = int(remap[old])
+            assert new < 4
+            np.testing.assert_allclose(np.asarray(m2.pt_xyz[new]), xyz[old])
+        assert int(m2.kf_feat_pt[0, 0]) == int(remap[4])
+        assert int(m2.kf_feat_pt[0, 1]) == int(remap[9])
+        assert int(m2.kf_feat_pt[1, 0]) == -1   # dead ref severed

@@ -3,7 +3,7 @@
 A from-scratch JAX/XLA/Pallas re-design of the capabilities of U-VIP-SLAM
 (reference: chintha/U-VIP-SLAM, C++/ROS). Not a port: state is fixed-shape
 structure-of-arrays living in device memory, the per-frame loop is a jitted
-functional step, hot pixel kernels are Pallas, and batched multi-sequence
+functional step with XLA-fused pixel kernels, and batched multi-sequence
 replay shards over a `jax.sharding.Mesh`.
 
 Subpackages

@@ -137,6 +137,44 @@ def fuse_duplicates(m: MapState, radius: float = 0.05,
     )
 
 
+@jax.jit
+def compact_points(m: MapState) -> tuple[MapState, jax.Array]:
+    """Recycle landmark slots: pack valid landmarks to the front of the
+    table so the monotonic slot counter `n_pt` resets to the live count.
+    The reference never needs this (MapPoints are heap objects freed by
+    erase, src/MapPoint.cc); fixed-capacity tables do, or a long run
+    silts the table with culled/fused slots until allocation wraps.
+
+    Returns (compacted_map, remap) where remap[old_slot] = new_slot;
+    callers must rewrite any live track associations:
+    `new_id = where(old_id >= 0 & was_valid[old_id], remap[old_id], -1)`
+    (keyframe observation tables are rewritten here)."""
+    P = m.pt_cap
+    order = jnp.argsort(~m.pt_valid, stable=True)   # valid slots first
+    remap = jnp.argsort(order, stable=True).astype(jnp.int32)
+    n_valid = jnp.sum(m.pt_valid).astype(jnp.int32)
+
+    def perm(a):
+        return a[order]
+
+    pid = jnp.clip(m.kf_feat_pt, 0, P - 1)
+    live = (m.kf_feat_pt >= 0) & m.pt_valid[pid]
+    new_feat_pt = jnp.where(live, remap[pid], -1)
+    m2 = dataclasses.replace(
+        m,
+        pt_xyz=perm(m.pt_xyz), pt_desc=perm(m.pt_desc),
+        pt_normal=perm(m.pt_normal),
+        pt_min_dist=perm(m.pt_min_dist), pt_max_dist=perm(m.pt_max_dist),
+        pt_ref_kf=perm(m.pt_ref_kf), pt_found=perm(m.pt_found),
+        pt_visible=perm(m.pt_visible),
+        pt_first_frame=perm(m.pt_first_frame),
+        pt_valid=perm(m.pt_valid),
+        kf_feat_pt=new_feat_pt,
+        n_pt=n_valid,
+    )
+    return m2, remap
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def fuse_duplicates_recent(m: MapState, frame_id: jax.Array,
                            Rcw: jax.Array, tcw: jax.Array,

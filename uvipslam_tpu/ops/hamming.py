@@ -101,12 +101,14 @@ def rotation_consistency(
     histogram bins (reference: ORBmatcher::ComputeThreeMaxima +
     mbCheckOrientation, src/ORBmatcher.cc).
 
-    Adaptive: if the dominant bins hold < `min_top_fraction` of the
-    matches, the orientation signal is uninformative (e.g. weak-gradient
-    content where the IC angle is noise) and the gate passes everything —
-    on real imagery with consistent camera roll the top-3 bins hold the
-    large majority, so the reference behavior is preserved exactly when
-    it matters."""
+    Adaptive: if the dominant `n_keep_bins` hold < `min_top_fraction` of
+    the matches, the orientation signal is weak (e.g. low-gradient
+    content where the IC angle is noisy) and the gate widens to the top
+    2*n_keep_bins bins — still a gate, never a full pass-through, so the
+    downstream RANSAC keeps some orientation-based outlier rejection on
+    rotationally ambiguous content. On real imagery with consistent
+    camera roll the top-3 bins hold the large majority, so the reference
+    behavior is preserved exactly when it matters."""
     nb = angle_b.shape[0]
     rot = angle_a - angle_b[jnp.clip(idx_ab, 0, nb - 1)]
     # wrap to [0, 2pi)
@@ -114,11 +116,14 @@ def rotation_consistency(
     rot = jnp.mod(rot, two_pi)
     bins = jnp.clip((rot * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
     hist = jnp.zeros((HISTO_BINS,), jnp.float32).at[bins].add(jnp.where(ok, 1.0, 0.0))
-    topv, top_bins = jax.lax.top_k(hist, n_keep_bins)
-    in_top = (bins[:, None] == top_bins[None, :]).any(axis=1)
-    informative = jnp.sum(topv) >= min_top_fraction * jnp.maximum(
+    n_wide = min(2 * n_keep_bins, HISTO_BINS)
+    topv, top_bins = jax.lax.top_k(hist, n_wide)
+    hit = bins[:, None] == top_bins[None, :]
+    in_top = hit[:, :n_keep_bins].any(axis=1)
+    in_wide = hit.any(axis=1)
+    informative = jnp.sum(topv[:n_keep_bins]) >= min_top_fraction * jnp.maximum(
         jnp.sum(hist), 1.0)
-    return ok & (in_top | ~informative)
+    return ok & jnp.where(informative, in_top, in_wide)
 
 
 def window_mask(

@@ -305,7 +305,7 @@ def pose_optimization_vi2(
         ])
     )
     shi = jnp.asarray(1.0, dtype) if depth_shi is None else depth_shi
-    g_z = jnp.abs(gravity[2])
+    g_z = gravity[2]
 
     inlier = valid
 
@@ -395,7 +395,7 @@ def pose_optimization_vi2(
                 rd, Jd_i, Jd_j, Jd_b = factors.depth_projected(
                     nsp.p, nsp.v, nsp.R, nsc.p, nsp.dbg, nsp.dba,
                     preint.dP, preint.J_P_bg, preint.J_P_ba, dTij,
-                    depth_meas, shi, gravity_z=-g_z,
+                    depth_meas, shi, gravity_z=g_z,
                 )
                 chi2_d = (rd[0] ** 2) * depth_info
                 wd = huber_weight(chi2_d, HUBER2_DEPTH) if robust else jnp.asarray(1.0, dtype)
