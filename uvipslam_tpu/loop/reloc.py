@@ -7,16 +7,21 @@ the dense form of DetectRelocalisationCandidates), match the frame's
 descriptors to the best candidates' features, gather their landmarks, and
 solve PnP RANSAC + pose refinement.
 
-The vocabulary is a seeded random binary codebook (LSH-style): word
-assignment is still locality-sensitive, so frames of the same scene get
-similar word histograms without requiring a trained vocabulary file
-(the reference needs the external 140 MB ORBvoc.txt; SURVEY §7 calls for
-"a hash-based substitute with equivalent retrieval quality").
+The vocabulary is a TRAINED binary codebook with idf weights, baked as a
+package artifact (`loop/vocab_data.npz`, produced by
+scripts/train_vocab.py — binary k-means + document-frequency idf over
+ORB descriptors from the synthetic rendering domain). This replaces the
+reference's external 140 MB ORBvoc.txt download (DBoW2
+TemplatedVocabulary, Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:56
+TF_IDF + :470 L1 norm). If the artifact is missing, a seeded random
+LSH codebook with flat idf stands in (locality-sensitive word
+assignment still retrieves, with weaker discrimination).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,21 +32,34 @@ from uvipslam_tpu.ops import hamming
 from uvipslam_tpu.ops.pnp import pnp_ransac
 from uvipslam_tpu.solver.pose_opt import pose_optimization_se3
 
-N_WORDS = 512
+_VOCAB_PATH = os.path.join(os.path.dirname(__file__), "vocab_data.npz")
 
 
-def _make_codebook(n_words: int = N_WORDS, seed: int = 7):
+def _make_codebook(n_words: int = 512, seed: int = 7):
     rs = np.random.RandomState(seed)
     return rs.randint(0, 2, (n_words, 256)).astype(np.int8)
 
 
-# module-level constant (never construct inside a trace: an lru_cache
+def _load_vocab():
+    if os.path.exists(_VOCAB_PATH):
+        z = np.load(_VOCAB_PATH)
+        return z["codebook"].astype(np.int8), z["idf"].astype(np.float32)
+    cb = _make_codebook()
+    return cb, np.ones((cb.shape[0],), np.float32)
+
+
+# module-level constants (never construct inside a trace: an lru_cache
 # primed under jit would capture tracers)
-_CODEBOOK = _make_codebook()
+_CODEBOOK, _IDF = _load_vocab()
+N_WORDS = _CODEBOOK.shape[0]
 
 
 def _codebook():
     return jnp.asarray(_CODEBOOK)
+
+
+def _idf():
+    return jnp.asarray(_IDF)
 
 
 @jax.jit
@@ -49,7 +67,7 @@ def relocalize_frame(tracks, m, key, fx, fy, cx, cy):
     """Returns (Rcw, tcw, pt_id [N_tracks], n_inliers). pt_id carries the
     recovered landmark associations for inlier matches (-1 otherwise)."""
     cb = _codebook()
-    idf = jnp.ones((cb.shape[0],), jnp.float32)
+    idf = _idf()
 
     # frame BoW vs the keyframes' BoW vectors stored at insertion
     # (reference: per-KF ComputeBoW once, scored by the database query)
