@@ -201,7 +201,13 @@ def main():
 
 
 if __name__ == "__main__":
+    # default run emits BOTH pipelines' JSON lines — VIP (the paper's
+    # actual mode) first, mono last (the driver parses the LAST line as
+    # the headline) — so the recorded bench always covers the full system
     if "--mode" in sys.argv and "vip" in sys.argv:
         main_vip()
+    elif "--mode" in sys.argv and "mono" in sys.argv:
+        main()
     else:
+        main_vip()
         main()

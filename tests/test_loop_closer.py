@@ -156,12 +156,12 @@ def test_stored_retrieval_vectors_match_on_demand():
     """kf_bow/kf_hash stored at insertion must equal the on-demand
     computation (the O(K) query optimization cannot change retrieval)."""
     from uvipslam_tpu.loop import haloc
-    from uvipslam_tpu.loop.reloc import _codebook
+    from uvipslam_tpu.loop.reloc import _codebook, _idf
     from uvipslam_tpu.loop.vocab import bow_vector
 
     m, _, _ = build_looped_map(K=4)
     cb = _codebook()
-    idf = jnp.ones((cb.shape[0],), jnp.float32)
+    idf = _idf()
     for k in range(4):
         bow = bow_vector(m.kf_feat_desc[k], m.kf_feat_valid[k], cb, idf)
         np.testing.assert_allclose(np.asarray(m.kf_bow[k]), np.asarray(bow),
@@ -244,3 +244,114 @@ def test_tracker_closes_loop_on_revisit():
         kfrmse, _ = ate_rmse(kfp, kfgt)
         span = np.abs(kfgt[:, 0]).max()
         assert kfrmse < 0.05 * span, (kfrmse, span)
+
+
+def build_two_loop_map(K=11, P=704, drift=0.35, seed=4):
+    """A trajectory that revisits its start TWICE (at K//2 and K-1), with
+    monotonically accumulating drift. Landmarks: slots 0:64 = originals
+    (KF 0), 64:128 = first-revisit duplicates, 128:192 = second-revisit
+    duplicates, 192: = per-KF unique mid-trajectory landmarks at their
+    first observer's drift."""
+    rs = np.random.RandomState(seed)
+    m = MapState.empty(K, P, 64)
+    half = K // 2
+
+    pts = rs.uniform(-1, 1, (P, 3)) + [0, 0, 4]
+    descs = rs.randint(0, 2, (P, 256)).astype(np.int8)
+
+    amp = 0.5
+    true_C = [np.array([amp * np.sin(np.pi * k / half) ** 2, 0.0, 0.0])
+              for k in range(K)]
+    drift_of = lambda k: np.array([drift, -drift / 2, 0.0]) * (k / K)
+    est_C = [c + drift_of(k) for k, c in enumerate(true_C)]
+
+    pts_tab = pts.copy()
+    descs_tab = descs.copy()
+    pts_tab[64:128] = pts[:64] + drift_of(half)
+    pts_tab[128:192] = pts[:64] + drift_of(K - 1)
+    descs_tab[64:128] = descs[:64]
+    descs_tab[128:192] = descs[:64]
+    ref_kf = np.zeros(P, np.int32)
+    ref_kf[64:128] = half
+    ref_kf[128:192] = K - 1
+
+    def ids_of(k):
+        if k == 0:
+            return np.arange(64)
+        if k == half:
+            return np.arange(64) + 64
+        if k == K - 1:
+            return np.arange(64) + 128
+        j = k if k < half else k - 1
+        return np.arange(64) + 192 + (j - 1) * 64
+
+    for k in range(1, K):
+        if k in (half, K - 1):
+            continue
+        ids = ids_of(k)
+        pts_tab[ids] = pts[ids] + drift_of(k)
+        ref_kf[ids] = k
+
+    m = dataclasses.replace(
+        m,
+        pt_xyz=jnp.asarray(pts_tab.astype(np.float32)),
+        pt_desc=jnp.asarray(descs_tab),
+        pt_valid=jnp.ones((P,), bool),
+        pt_ref_kf=jnp.asarray(ref_kf),
+        n_pt=jnp.asarray(P, jnp.int32),
+    )
+
+    for k in range(K):
+        Rcw = np.eye(3, dtype=np.float32)
+        tcw = (-Rcw @ est_C[k]).astype(np.float32)
+        ns = _cam_pose_to_ns(jnp.asarray(Rcw), jnp.asarray(tcw))
+        ids = ids_of(k)
+        pc = pts_tab[ids] - est_C[k]
+        uv = jnp.asarray(np.stack([400 * pc[:, 0] / pc[:, 2] + 320,
+                                   400 * pc[:, 1] / pc[:, 2] + 240],
+                                  -1).astype(np.float32))
+        m, _ = m.add_keyframe(
+            ns, jnp.asarray(float(k)), jnp.asarray(k * 3, jnp.int32),
+            uv, jnp.asarray(descs_tab[ids]), jnp.zeros(64, jnp.int32),
+            jnp.zeros(64), jnp.ones(64, bool),
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(0.0), jnp.asarray(False),
+            jax.tree_util.tree_map(lambda a: a[0],
+                                   MapState.empty(1, 1, 1).kf_preint),
+            jnp.asarray(k - 1, jnp.int32),
+        )
+    return m, np.asarray(true_C), np.asarray(est_C)
+
+
+def test_second_loop_preserves_first_closure():
+    """The essential graph must retain past loop edges (reference:
+    src/Optimizer.cc:2529-2545): after a SECOND closure, the first
+    loop's constraint must still hold — a chain-only graph would smear
+    the second correction through the first loop pair."""
+    K = 11
+    half = K // 2
+    m, true_C, est_C = build_two_loop_map(K=K)
+
+    ok1, s1, R1, t1, n1 = compute_loop_sim3(
+        m, half, 0, jax.random.PRNGKey(1), 400.0, 400.0, 320.0, 240.0)
+    assert ok1, n1
+    m = close_loop(m, half, 0, s1, R1, t1, n_iters=25)
+    assert int(m.n_loop) == 1
+    C = np.asarray(m.kf_ns.p[:K])
+    assert np.linalg.norm(C[half] - C[0]) < 0.06, C[half] - C[0]
+
+    ok2, s2, R2, t2, n2 = compute_loop_sim3(
+        m, K - 1, 0, jax.random.PRNGKey(2), 400.0, 400.0, 320.0, 240.0)
+    assert ok2, n2
+    m = close_loop(m, K - 1, 0, s2, R2, t2, n_iters=25)
+    assert int(m.n_loop) == 2
+
+    C = np.asarray(m.kf_ns.p[:K])
+    # both revisit constraints hold simultaneously
+    assert np.linalg.norm(C[half] - C[0]) < 0.08, C[half] - C[0]
+    assert np.linalg.norm(C[K - 1] - C[0]) < 0.08, C[K - 1] - C[0]
+    # and the whole trajectory is more consistent than the drifted input
+    from uvipslam_tpu.io.synthetic import ate_rmse
+    rmse_before, _ = ate_rmse(est_C, true_C, align_scale=False)
+    rmse_after, _ = ate_rmse(C, true_C, align_scale=False)
+    assert rmse_after < 0.5 * rmse_before, (rmse_before, rmse_after)

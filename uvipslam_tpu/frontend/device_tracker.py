@@ -47,6 +47,39 @@ from uvipslam_tpu.ops.twoview import initialize_two_view
 RING = 64
 
 
+def device_hygiene(m: MapState, t: Tracks, frame_id, Rcw, tcw,
+                   fx, fy, cx, cy, compact_frac: float = 0.9):
+    """Per-KF map hygiene for the device trackers (reference: the mapper
+    cycle culls + fuses every keyframe, src/LocalMapping.cc:791-798).
+    Culls weak landmarks, fuses duplicates against the new KF's camera,
+    severs dead track associations, and recycles landmark slots when the
+    table approaches capacity so long scans stay bounded."""
+    from uvipslam_tpu.mapstate.hygiene import (
+        compact_points,
+        cull_points,
+        fuse_duplicates_recent,
+    )
+
+    m = cull_points(m, frame_id)
+    m = fuse_duplicates_recent(m, frame_id, Rcw, tcw, fx, fy, cx, cy)
+    pid = jnp.clip(t.pt_id, 0, m.pt_cap - 1)
+    alive = (t.pt_id >= 0) & m.pt_valid[pid]
+    t = dataclasses.replace(t, pt_id=jnp.where(alive, t.pt_id, -1))
+
+    def do_compact(op):
+        m, t = op
+        m2, remap = compact_points(m)
+        pid = jnp.clip(t.pt_id, 0, m.pt_cap - 1)
+        live = (t.pt_id >= 0) & m.pt_valid[pid]
+        t2 = dataclasses.replace(
+            t, pt_id=jnp.where(live, remap[pid], -1))
+        return m2, t2
+
+    near_full = m.n_pt > int(compact_frac * m.pt_cap)
+    m, t = jax.lax.cond(near_full, do_compact, lambda op: op, (m, t))
+    return m, t
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TrackerState:
@@ -263,6 +296,9 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
                 m = run_local_ba(m)
                 ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
                 Rcw, tcw = _ns_to_cam_pose(ns_k)
+                if cfg.map_hygiene:
+                    m, t = device_hygiene(m, t, st.frame_id, Rcw, tcw,
+                                          cam.fx, cam.fy, cam.cx, cam.cy)
                 return dataclasses.replace(
                     st, tracks=t, map=m, Rcw=Rcw, tcw=tcw,
                     last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,

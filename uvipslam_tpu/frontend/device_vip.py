@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
@@ -42,6 +43,7 @@ from uvipslam_tpu.core.preintegration import (
 )
 from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.frontend import tracker as HT
+from uvipslam_tpu.frontend.device_tracker import device_hygiene
 from uvipslam_tpu.frontend.frame import (
     Tracks,
     propagate_tracks,
@@ -55,9 +57,11 @@ from uvipslam_tpu.frontend.tracker import (
     NOT_INITIALIZED,
     WORKING,
     _cam_pose_to_ns,
+    _cam_pose_to_ns_ext,
     _local_ba_jit,
     _motion_guess_jit,
     _ns_to_cam_pose,
+    _ns_to_cam_pose_ext,
     _pose_and_localmap_jit,
     _triangulate_new_jit,
 )
@@ -89,6 +93,7 @@ class VipTrackerState:
     ring_t: jax.Array
     ring_frame: jax.Array
     init_frame_id: jax.Array
+    init_time: jax.Array         # f32 timestamp of the init anchor frame
     last_kf_slot: jax.Array
     last_kf_frame: jax.Array
     n_ref_tracked: jax.Array
@@ -160,6 +165,7 @@ def init_vip_state(cfg: VipConfig, kf_cap: int, pt_cap: int,
         ring_t=jnp.zeros((RING, 3), jnp.float32),
         ring_frame=jnp.full((RING,), -1, jnp.int32),
         init_frame_id=jnp.asarray(-1, jnp.int32),
+        init_time=jnp.asarray(0.0, jnp.float32),
         last_kf_slot=jnp.asarray(-1, jnp.int32),
         last_kf_frame=jnp.asarray(-1, jnp.int32),
         n_ref_tracked=jnp.asarray(0, jnp.int32),
@@ -208,6 +214,13 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
     scale_sigmas = jnp.asarray(cfg.scale_sigmas, jnp.float32)
     gravity_w = jnp.asarray(cfg.gravity, jnp.float32)
     depth_info_cfg = jnp.asarray(1.0 / cfg.depth_noise_sd ** 2, jnp.float32)
+    # camera-in-body extrinsics (reference: Camera.Tbc,
+    # src/IMU/configparam.cpp:41-69)
+    _Tbc = np.asarray(cfg.Tbc, np.float32)
+    Rbc = jnp.asarray(_Tbc[:3, :3])
+    tbc = jnp.asarray(_Tbc[:3, 3])
+    Rcb = jnp.asarray(_Tbc[:3, :3].T)
+    tcb = jnp.asarray(-(_Tbc[:3, :3].T @ _Tbc[:3, 3]))
 
     def undistort(tracks: Tracks) -> Tracks:
         return dataclasses.replace(tracks, xy_und=cam.undistort_pixels(tracks.xy))
@@ -232,7 +245,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
     def run_vi_ba(m: MapState) -> MapState:
         return _vi_ba_jit(m, gravity_w, cam.fx, cam.fy, cam.cx, cam.cy,
                           scale_sigmas, cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
-                          depth_info_cfg)
+                          depth_info_cfg, Rcb, tcb)
 
     # ------------------------------------------------------------------
     # mono bootstrap branches (device_tracker semantics + IMU accumulation)
@@ -254,6 +267,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             st, tracks=tracks,
             state=jnp.where(go, INITIALIZING, NOT_INITIALIZED).astype(jnp.int32),
             init_frame_id=jnp.where(go, st.frame_id, st.init_frame_id),
+            init_time=jnp.where(go, st.frame_time, st.init_time),
         )
         return _zero_kf_accumulators(st)
 
@@ -287,7 +301,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             feat_pt = jnp.where(good, ids, -1)
             zp = PreintState.zero(dtype=jnp.float32)
             m, k0 = m.add_keyframe(
-                ns0, st.frame_time, st.init_frame_id,
+                ns0, st.init_time, st.init_frame_id,
                 t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
                 jnp.asarray(0.0), jnp.asarray(False), zp, jnp.asarray(-1),
             )
@@ -340,10 +354,12 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         # vip_tracker._maybe_init_vio)
         m = global_ba_visual(st.map, cam.fx, cam.fy, cam.cx, cam.cy,
                              scale_sigmas)
-        # 1. gyro bias over consecutive KF pairs
+        # 1. gyro bias over consecutive KF pairs (BODY rotations:
+        # pre-init the table stores camera poses, Rwb = Rwc Rcb)
         pair_mask = m.kf_valid & (m.kf_prev >= 0)
         bg = vio_init.estimate_gyro_bias(
-            m.kf_ns.R, m.kf_preint.dR, m.kf_preint.J_R_bg, pair_mask)
+            mm(m.kf_ns.R, Rcb), m.kf_preint.dR, m.kf_preint.J_R_bg,
+            pair_mask)
 
         # 2. re-integrate all KF windows with the bias
         z3 = jnp.zeros(3, jnp.float32)
@@ -358,18 +374,64 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         # 3. gravity direction from the accelerometer average (world frame)
         ghat = st.accw_sum / jnp.maximum(jnp.linalg.norm(st.accw_sum), 1e-9)
         g_dir_vision = -ghat
-        v = jnp.cross(g_dir_vision, g_cfg_dir)
-        sn = jnp.linalg.norm(v)
-        cs = jnp.dot(g_dir_vision, g_cfg_dir)
-        axis = v / jnp.where(sn < 1e-9, 1.0, sn)
-        R_align = lie.so3_exp(axis * jnp.arctan2(sn, cs))
+
+        def align_from(g_dir):
+            v = jnp.cross(g_dir, g_cfg_dir)
+            sn = jnp.linalg.norm(v)
+            cs = jnp.dot(g_dir, g_cfg_dir)
+            axis = v / jnp.where(sn < 1e-9, 1.0, sn)
+            return lie.so3_exp(axis * jnp.arctan2(sn, cs))
+
+        def pressure_scale(Ra):
+            z_aligned = mv(Ra, m.kf_ns.p)[:, 2]
+            s_gn, _ = vio_init.estimate_scale_from_pressure(
+                z_aligned, m.kf_depth, has_depth)
+            return s_gn
 
         # 4. metric scale from pressure on gravity-aligned z
-        z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
-        s_gn, _ = vio_init.estimate_scale_from_pressure(
-            z_aligned, m.kf_depth, has_depth)
+        s0 = pressure_scale(align_from(g_dir_vision))
+        ok0 = jnp.isfinite(s0) & (s0 > 1e-3) & (jnp.sum(has_depth) >= 3)
+        s0 = jnp.where(ok0, s0, 1.0)
+
+        # 4b. refine [dtheta_xy, ba] with the scale fixed (reference:
+        # the Init_mode 2/3 second SVD, src/LocalMapping.cc:411-509 —
+        # the raw accelerometer average is tilt-biased under sustained
+        # proper acceleration); strided virtual keyframes as in the
+        # host path (see vio_init.build_strided_inertial)
+        sel, vvalid, s_omg, s_acc, s_dt, s_mask = \
+            vio_init.build_strided_inertial(
+                m.kf_valid, m.kf_imu_omg, m.kf_imu_acc,
+                m.kf_imu_dt, m.kf_imu_mask, 4)
+        pv = m.kf_ns.p[sel]
+        Rv = mm(m.kf_ns.R[sel], Rcb)
+        prev_ = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, bg, z3, cfg.gyr_noise_sd, cfg.acc_noise_sd)
+        )(s_omg, s_acc, s_dt, s_mask)
+        vk = jnp.arange(sel.shape[0])
+        triple = (vvalid & jnp.roll(vvalid, 1) & jnp.roll(vvalid, 2)
+                  & (vk >= 2) & (prev_.dt > 1e-6)
+                  & (jnp.roll(prev_.dt, 1) > 1e-6))
+        g_ref, ba_ref = vio_init.refine_gravity_accbias_fixed_scale(
+            pv, Rv, prev_.dP, prev_.dV, prev_.dt,
+            prev_.J_P_ba, prev_.J_V_ba, g_dir_vision * 9.81, tbc, s0,
+            triple)
+        g_ref_dir = g_ref / jnp.maximum(jnp.linalg.norm(g_ref), 1e-9)
+        tilt_ok = (jnp.sum(triple) >= 2) \
+            & jnp.all(jnp.isfinite(g_ref_dir)) \
+            & (jnp.dot(g_ref_dir, g_dir_vision) > jnp.cos(jnp.deg2rad(15.0)))
+        g_dir_vision = jnp.where(tilt_ok, g_ref_dir, g_dir_vision)
+        ba_est = jnp.where(tilt_ok, ba_ref, jnp.zeros(3, jnp.float32))
+
+        R_align = align_from(g_dir_vision)
+        s_gn = pressure_scale(R_align)
         ok = jnp.isfinite(s_gn) & (s_gn > 1e-3) & (jnp.sum(has_depth) >= 3)
         s = jnp.where(ok, s_gn, 1.0)
+        # re-integrate the KF windows at both biases (velocity recovery)
+        pre2 = jax.vmap(
+            lambda o, a, d, msk: preintegrate(
+                o, a, d, msk, bg, ba_est, cfg.gyr_noise_sd, cfg.acc_noise_sd)
+        )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
 
         # 5. world Sim3: x' = s R_align x on every world-frame quantity
         kf_ns = dataclasses.replace(
@@ -379,6 +441,15 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             R=mm(jnp.broadcast_to(R_align, m.kf_ns.R.shape), m.kf_ns.R),
         )
         pt_xyz = s * mv(R_align, m.pt_xyz)
+
+        # 5b. convert the KF table from camera-as-body storage to BODY
+        # NavStates through Tbc (metric after the rescale, so the lever
+        # arm applies cleanly; see vip_tracker._maybe_init_vio)
+        kf_Rcw, kf_tcw = jax.vmap(_ns_to_cam_pose)(kf_ns)
+        ns_b = jax.vmap(
+            lambda R_, t_: _cam_pose_to_ns_ext(R_, t_, Rbc, tbc)
+        )(kf_Rcw, kf_tcw)
+        kf_ns = dataclasses.replace(kf_ns, p=ns_b.p, R=ns_b.R)
 
         # depth-anchor offset: world z == pressure depth
         z_now = kf_ns.p[:, 2]
@@ -392,7 +463,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         kf_ns = dataclasses.replace(
             kf_ns, p=p_shift,
             bg=jnp.broadcast_to(bg, kf_ns.bg.shape),
-            ba=jnp.zeros_like(kf_ns.ba),
+            ba=jnp.broadcast_to(ba_est, kf_ns.ba.shape),
         )
         vel = vio_init.velocities_from_positions(
             kf_ns.p, kf_ns.R, pre2.dP, pre2.dt, gravity_w, m.kf_valid)
@@ -404,7 +475,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                                  kf_preint=pre2)
 
         ns_new = jax.tree_util.tree_map(lambda a: a[k_last], m2.kf_ns)
-        Rcw2, tcw2 = _ns_to_cam_pose(ns_new)
+        Rcw2, tcw2 = _ns_to_cam_pose_ext(ns_new, Rcb, tcb)
         ring_R2 = mm(st.ring_R, jnp.swapaxes(R_align, -1, -2)[None])
         ring_t2 = s * st.ring_t  # ring z-offset skipped: ring is only a
         # triangulation seed and re-fills within a few frames
@@ -475,6 +546,9 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 m = run_mono_ba(m)
                 ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
                 Rcw, tcw = _ns_to_cam_pose(ns_k)
+                if cfg.map_hygiene:
+                    m, t = device_hygiene(m, t, st.frame_id, Rcw, tcw,
+                                          cam.fx, cam.fy, cam.cx, cam.cy)
                 st = dataclasses.replace(
                     st, tracks=t, map=m, Rcw=Rcw, tcw=tcw,
                     last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
@@ -517,7 +591,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             t, st.map, ns_pred, st.ns, pre_frame, gravity_w,
             cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
             cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
-            b.depth, depth_info, st.H_prior,
+            b.depth, depth_info, st.H_prior, Rcb, tcb,
         )
 
         def to_recovery(op):
@@ -526,7 +600,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             p_over = jnp.where(
                 b.depth_valid, ns_pred.p.at[2].set(b.depth), ns_pred.p)
             ns_dr = dataclasses.replace(ns_pred, p=p_over)
-            Rcw, tcw = _ns_to_cam_pose(ns_dr)
+            Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
             st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
             return enter_recovery(st, b)
 
@@ -535,7 +609,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             tr = H_post.trace() / 15.0
             H_new = (H_post + jnp.eye(15, dtype=jnp.float32) * 1e-3) * \
                 jnp.minimum(1.0, 1e6 / jnp.maximum(tr, 1e-6))
-            Rcw, tcw = _ns_to_cam_pose(ns_opt)
+            Rcw, tcw = _ns_to_cam_pose_ext(ns_opt, Rcb, tcb)
             tracks = refill_tracks(tracks2, b.img, st.frame_id,
                                    n_features=cfg.n_tracks,
                                    px_distance=cfg.px_distance)
@@ -574,7 +648,10 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 )
                 m = run_vi_ba(m)
                 ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
-                Rcw, tcw = _ns_to_cam_pose(ns_k)
+                Rcw, tcw = _ns_to_cam_pose_ext(ns_k, Rcb, tcb)
+                if cfg.map_hygiene:
+                    m, t = device_hygiene(m, t, st.frame_id, Rcw, tcw,
+                                          cam.fx, cam.fy, cam.cx, cam.cy)
                 st = dataclasses.replace(
                     st, tracks=t, map=m, ns=ns_k, Rcw=Rcw, tcw=tcw,
                     last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
@@ -636,7 +713,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         p_over = jnp.where(b.depth_valid, ns_pred.p.at[2].set(b.depth),
                            ns_pred.p)
         ns_dr = dataclasses.replace(ns_pred, p=p_over)
-        Rcw, tcw = _ns_to_cam_pose(ns_dr)
+        Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
         st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
 
         t = undistort(st.tracks)
@@ -647,7 +724,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         stale = (since >= cfg.recovery_max_frames) | (
             n_live < cfg.min_init_tracks // 2)
 
-        Ra, ta = _ns_to_cam_pose(st.rec_ns)
+        Ra, ta = _ns_to_cam_pose_ext(st.rec_ns, Rcb, tcb)
         R_rel_imu = mm(Rcw, jnp.swapaxes(Ra, -1, -2))
         t_rel_imu = tcw - mv(R_rel_imu, ta)
         baseline = jnp.linalg.norm(t_rel_imu)
@@ -697,7 +774,8 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 imu_dt=st.rec_dt, imu_mask=st.rec_mask,
             )
             ns_cur = dataclasses.replace(
-                _cam_pose_to_ns(R1, t1), v=st.ns.v, bg=st.ns.bg,
+                _cam_pose_to_ns_ext(R1, t1, Rbc, tbc),
+                v=st.ns.v, bg=st.ns.bg,
                 ba=st.ns.ba, dbg=st.ns.dbg, dba=st.ns.dba,
             )
             m, k1 = m.add_keyframe(
@@ -709,7 +787,7 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             )
             m = run_vi_ba(m)
             ns_k = jax.tree_util.tree_map(lambda a: a[k1], m.kf_ns)
-            Rcw1, tcw1 = _ns_to_cam_pose(ns_k)
+            Rcw1, tcw1 = _ns_to_cam_pose_ext(ns_k, Rcb, tcb)
             ring_R = st.ring_R.at[st.rec_frame % RING].set(Ra)
             ring_t = st.ring_t.at[st.rec_frame % RING].set(ta)
             ring_f = st.ring_frame.at[st.rec_frame % RING].set(st.rec_frame)
@@ -735,7 +813,67 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
 
     # ------------------------------------------------------------------
     def branch_lost(st: VipTrackerState, b: FrameBundle, pre_frame):
-        return st
+        """Device-resident relocalization for a pre-VIO-init loss
+        (reference: Tracking::Relocalisation, src/Tracking.cc:2373-2534;
+        post-init losses go through branch_recovery instead). Same
+        design as device_tracker.branch_lost: fresh detection, BoW
+        retrieval over stored KF vectors, PnP seed + best-candidate-KF
+        seed, both refined by the pose+local-map solve."""
+        from uvipslam_tpu.loop.reloc import relocalize_frame
+
+        key, sub = jax.random.split(st.key)
+        fresh = refill_tracks(Tracks.empty(cfg.n_tracks), b.img, st.frame_id,
+                              n_features=cfg.n_tracks,
+                              px_distance=cfg.px_distance)
+        fresh = refresh_descriptors(fresh, b.img)
+        fresh = undistort(fresh)
+
+        R0, t0, pt_id, n_pnp, top_kfs = relocalize_frame(
+            fresh, st.map, sub, cam.fx, cam.fy, cam.cx, cam.cy)
+        fresh = dataclasses.replace(
+            fresh, pt_id=pt_id,
+            birth_frame=jnp.full_like(fresh.birth_frame, st.frame_id),
+            birth_xy_und=fresh.xy_und,
+        )
+
+        ns_k = jax.tree_util.tree_map(lambda a: a[top_kfs[0]], st.map.kf_ns)
+        Rk, tk = _ns_to_cam_pose(ns_k)
+        use_pnp = n_pnp >= 6
+        Ra = jnp.where(use_pnp, lie.normalize_rotation(R0), Rk)
+        ta = jnp.where(use_pnp, t0, tk)
+
+        R1, t1, _, n1, tr1 = _pose_and_localmap_jit(
+            fresh, st.map, Ra, ta, cam.fx, cam.fy, cam.cx, cam.cy,
+            scale_sigmas)
+        R2, t2, _, n2, tr2 = _pose_and_localmap_jit(
+            fresh, st.map, Rk, tk, cam.fx, cam.fy, cam.cx, cam.cy,
+            scale_sigmas)
+        pick1 = n1 >= n2
+        Rb = jnp.where(pick1, R1, R2)
+        tb = jnp.where(pick1, t1, t2)
+        nb = jnp.maximum(n1, n2)
+        trb = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(pick1, a, b_), tr1, tr2)
+
+        ok = nb >= max(cfg.min_tracked, 15)
+
+        def accept(op):
+            st, trb, Rb, tb = op
+            Rcw = lie.normalize_rotation(Rb)
+            ns = _cam_pose_to_ns(Rcw, tb)
+            st = dataclasses.replace(
+                st, tracks=trb, Rcw=Rcw, tcw=tb,
+                ns=dataclasses.replace(
+                    st.ns, p=ns.p, R=ns.R, v=jnp.zeros(3, jnp.float32)),
+                R_vel=jnp.eye(3, dtype=jnp.float32),
+                t_vel=jnp.zeros(3, jnp.float32),
+                H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
+                state=jnp.asarray(WORKING, jnp.int32),
+            )
+            return _zero_kf_accumulators(st)
+
+        st2 = jax.lax.cond(ok, accept, lambda op: op[0], (st, trb, Rb, tb))
+        return dataclasses.replace(st2, key=key)
 
     # ------------------------------------------------------------------
     def step(st: VipTrackerState, b: FrameBundle):
@@ -763,18 +901,18 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         S = st.kf_dt.shape[0]
         pos = st.kf_n + jnp.arange(Simu, dtype=jnp.int32)
         take = (b.imu_mask > 0) & (pos < S)
-        dst = jnp.where(take, pos, S - 1)
-        kf_omg = st.kf_omg.at[dst].set(
-            jnp.where(take[:, None], b.imu_omg, st.kf_omg[dst]))
-        kf_acc = st.kf_acc.at[dst].set(
-            jnp.where(take[:, None], b.imu_acc, st.kf_acc[dst]))
-        kf_dt = st.kf_dt.at[dst].set(jnp.where(take, b.imu_dt, st.kf_dt[dst]))
-        kf_mask = st.kf_mask.at[dst].set(
-            jnp.where(take, b.imu_mask, st.kf_mask[dst]))
+        # inactive lanes go to the out-of-range sentinel S and are dropped
+        # (duplicate-index .at[].set with differing values has unspecified
+        # order in XLA, so never park them on a live slot)
+        dst = jnp.where(take, pos, S)
+        kf_omg = st.kf_omg.at[dst].set(b.imu_omg, mode="drop")
+        kf_acc = st.kf_acc.at[dst].set(b.imu_acc, mode="drop")
+        kf_dt = st.kf_dt.at[dst].set(b.imu_dt, mode="drop")
+        kf_mask = st.kf_mask.at[dst].set(b.imu_mask, mode="drop")
         kf_n = st.kf_n + jnp.sum(take).astype(jnp.int32)
 
         # world-frame specific force for gravity estimation (pre-init)
-        Rwb = jnp.swapaxes(st.Rcw, -1, -2)
+        Rwb = mm(jnp.swapaxes(st.Rcw, -1, -2), Rcb)
         msum = jnp.maximum(jnp.sum(b.imu_mask), 1.0)
         mean_acc = jnp.sum(b.imu_acc * b.imu_mask[:, None], 0) / msum
         do_acc = (~st.vio_ok) & (st.state == WORKING)
@@ -798,8 +936,8 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             p_pred = st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + \
                 mv(st.ns.R, pre_frame.dP)
             R_pred = lie.normalize_rotation(mm(st.ns.R, pre_frame.dR))
-            Rcw_i, tcw_i = _ns_to_cam_pose(
-                dataclasses.replace(st.ns, p=p_pred, R=R_pred))
+            Rcw_i, tcw_i = _ns_to_cam_pose_ext(
+                dataclasses.replace(st.ns, p=p_pred, R=R_pred), Rcb, tcb)
             Rp = jnp.where(st.vio_ok, Rcw_i, mm(st.R_vel, st.Rcw))
             tp = jnp.where(st.vio_ok, tcw_i, mv(st.R_vel, st.tcw) + st.t_vel)
             guess, guess_ok = _motion_guess_jit(

@@ -515,6 +515,30 @@ def _ns_to_cam_pose(ns):
     return Rcw, tcw
 
 
+def _ns_to_cam_pose_ext(ns, Rcb, tcb):
+    """Camera extrinsic from a BODY NavState through the camera-in-body
+    transform (reference: KeyFrame/FrameKTL::UpdatePoseFromNS applying
+    Tbc, src/KeyFrame.cc:295-317). Rcb/tcb satisfy x_c = Rcb x_b + tcb
+    (tcb = -Rbc^T tbc for the config's Tbc = [Rbc | tbc])."""
+    Rbw = jnp.swapaxes(ns.R, -1, -2)
+    Rcw = mm(Rcb, Rbw)
+    tcw = -mv(Rcw, ns.p) + tcb
+    return Rcw, tcw
+
+
+def _cam_pose_to_ns_ext(Rcw, tcw, Rbc, tbc):
+    """BODY NavState pose from a camera extrinsic (inverse of
+    _ns_to_cam_pose_ext). Rbc/tbc satisfy x_b = Rbc x_c + tbc."""
+    from uvipslam_tpu.core.state import NavState
+
+    Rbw = mm(Rbc, Rcw)
+    tbw = mv(Rbc, tcw) + tbc
+    Rwb = jnp.swapaxes(Rbw, -1, -2)
+    p = -mv(Rwb, tbw)
+    ns = NavState.identity(dtype=tcw.dtype)
+    return dataclasses.replace(ns, p=p, R=Rwb)
+
+
 @jax.jit
 def _motion_guess_jit(tracks: Tracks, m: MapState, Rp, tp, fx, fy, cx, cy):
     has_pt = tracks.valid & (tracks.pt_id >= 0)

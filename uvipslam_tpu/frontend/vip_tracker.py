@@ -15,9 +15,12 @@ LocalMapping::TryInitVIO, Optimizer VI graphs):
   * after init: NavState tracking — IMU prediction, 15-dof pose
     optimization with preintegration/bias/pressure factors, VI window BA.
 
-Body frame == camera frame in this build (Tbc extrinsics are plumbed as
-config but identity for the synthetic benchmark suite; reference Aqualoc
-runs use Data/*.yaml Tbc).
+Camera-in-body extrinsics (the reference's Camera.Tbc,
+src/IMU/configparam.cpp:41-69) are threaded through every VI stage:
+prediction, the two-state marginalized solve, window/global BA, VIO
+init (body rotations + lever arm in the linear solves, camera->body
+table conversion at acceptance), recovery, and loop closing. The mono
+bootstrap phase stores camera-as-body states, converted at VIO init.
 """
 
 from __future__ import annotations
@@ -43,7 +46,9 @@ from uvipslam_tpu.frontend.tracker import (
     MonoTracker,
     TrackerConfig,
     _cam_pose_to_ns,
+    _cam_pose_to_ns_ext,
     _ns_to_cam_pose,
+    _ns_to_cam_pose_ext,
 )
 from uvipslam_tpu.mapstate.map import MapState
 from uvipslam_tpu.solver.local_ba import local_ba_navstate
@@ -74,6 +79,13 @@ class VipConfig(TrackerConfig):
     recovery_min_baseline: float = 0.04   # metres of IMU translation
     recovery_min_frames: int = 3
     recovery_max_frames: int = 45         # re-anchor after this many
+    # camera-in-body extrinsics, the reference's Camera.Tbc 4x4
+    # (x_body = Rbc x_cam + tbc; reference: ConfigParam,
+    # src/IMU/configparam.cpp:41-69). Identity = body==camera.
+    Tbc: tuple = ((1.0, 0.0, 0.0, 0.0),
+                  (0.0, 1.0, 0.0, 0.0),
+                  (0.0, 0.0, 1.0, 0.0),
+                  (0.0, 0.0, 0.0, 1.0))
 
 
 class VipTracker(MonoTracker):
@@ -86,6 +98,14 @@ class VipTracker(MonoTracker):
         S = cfg.imu_cap_per_kf
         self.vio_ok = False
         self.gravity_w = jnp.asarray(cfg.gravity, jnp.float32)
+        # camera-in-body extrinsics (reference: Tbc -> Tcb,
+        # src/IMU/configparam.cpp:41-69)
+        Tbc = np.asarray(cfg.Tbc, np.float32)
+        self.Rbc = jnp.asarray(Tbc[:3, :3])
+        self.tbc = jnp.asarray(Tbc[:3, 3])
+        self.Rcb = jnp.asarray(Tbc[:3, :3].T)
+        self.tcb = jnp.asarray(-Tbc[:3, :3].T @ Tbc[:3, 3])
+        self.has_extrinsics = not np.allclose(Tbc, np.eye(4))
         self.ns = NavState.identity(dtype=jnp.float32)       # current body state
         self.ns_prev = NavState.identity(dtype=jnp.float32)  # previous frame
         # preintegration accumulated since last KF + its raw window
@@ -155,7 +175,8 @@ class VipTracker(MonoTracker):
 
         # accumulate world-frame specific force for gravity estimation
         if not self.vio_ok and self.state == WORKING:
-            Rwb = jnp.swapaxes(self.Rcw, -1, -2)  # body==camera
+            # Rwb = Rwc Rcb (body==camera pre-init only when Tbc == I)
+            Rwb = mm(jnp.swapaxes(self.Rcw, -1, -2), self.Rcb)
             mean_acc = jnp.sum(imu_acc * imu_mask[:, None], 0) / jnp.maximum(jnp.sum(imu_mask), 1.0)
             self.accw_sum = self.accw_sum + mv(Rwb, mean_acc)
             self.accw_n += 1.0
@@ -196,7 +217,8 @@ class VipTracker(MonoTracker):
             v=self.ns.v + g * dt + mv(self.ns.R, pre_frame.dV),
             R=lie.normalize_rotation(mm(self.ns.R, pre_frame.dR)),
         )
-        Rcw_pred, tcw_pred = _ns_to_cam_pose(ns_pred)
+        from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose_ext
+        Rcw_pred, tcw_pred = _ns_to_cam_pose_ext(ns_pred, self.Rcb, self.tcb)
 
         if self.pyr_prev is not None:
             guess, guess_ok = HT._motion_guess_jit(
@@ -218,7 +240,7 @@ class VipTracker(MonoTracker):
             self.cur_depth, jnp.asarray(
                 (1.0 / self.cfg.depth_noise_sd**2) if self.cur_depth_valid else 0.0,
                 jnp.float32),
-            self.H_prior,
+            self.H_prior, self.Rcb, self.tcb,
         )
         n_in = int(n_in)
         status = {}
@@ -228,7 +250,7 @@ class VipTracker(MonoTracker):
             # IMU_RELOCALIZATION state, src/Tracking.cc:594-613,1529-)
             self.ns_prev = self.ns
             self.ns = self._depth_override(ns_pred)
-            self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+            self.Rcw, self.tcw = _ns_to_cam_pose_ext(self.ns, self.Rcb, self.tcb)
             self._enter_recovery(img, pyr)
             self._reset_marginal_prior()
             status.update(state="IMU_RELOC", n_inliers=n_in)
@@ -236,7 +258,7 @@ class VipTracker(MonoTracker):
             self.tracks = tracks2
             self.ns_prev = self.ns
             self.ns = ns_opt
-            self.Rcw, self.tcw = _ns_to_cam_pose(ns_opt)
+            self.Rcw, self.tcw = _ns_to_cam_pose_ext(ns_opt, self.Rcb, self.tcb)
             # carry the Schur marginal as next frame's prior; cap the
             # information so the f32 filter can't run away over long runs
             tr = jnp.trace(H_post) / 15.0
@@ -317,8 +339,11 @@ class VipTracker(MonoTracker):
         k_int = int(k)
         ns_k = jax.tree_util.tree_map(lambda a: a[k_int], m.kf_ns)
         if self.vio_ok:
+            from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose_ext
             self.ns = ns_k
-        self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+            self.Rcw, self.tcw = _ns_to_cam_pose_ext(ns_k, self.Rcb, self.tcb)
+        else:
+            self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
         self.last_kf_slot = k_int
         self.last_kf_frame = self.frame_id
         self.last_kf_tracks = self.tracks
@@ -336,6 +361,64 @@ class VipTracker(MonoTracker):
                 self._reloc_bias_after_kf = None
         else:
             self._maybe_init_vio()
+        # loop-closing pass on EVERY keyframe, VIP mode included
+        # (reference: LocalMapping feeds LoopClosing per keyframe in
+        # every mode, src/LocalMapping.cc:850-852)
+        self._maybe_close_loop(k_int)
+
+    # ------------------------------------------------------------------
+    def _maybe_close_loop(self, kf_slot: int):
+        """VIP-mode loop closing: same detection/verification as the mono
+        hook, but the post-loop polish is the NavState global BA and the
+        corrected state is adopted into the VI filter (ns + marginal
+        prior restart). Reference: LoopClosing::CorrectLoop +
+        GlobalBundleAdjustmentNavState (src/LoopClosing.cc:539-691,
+        src/Optimizer.cc:50)."""
+        if self.loop_closer is None:
+            return
+        from uvipslam_tpu.solver.global_ba import (
+            global_ba_navstate,
+            global_ba_visual,
+        )
+
+        if self.vio_ok:
+            # post-init the map stores BODY NavStates: the closer must
+            # project them through the camera-in-body extrinsics
+            self.loop_closer.Rcb, self.loop_closer.tcb = self.Rcb, self.tcb
+            self.loop_closer.Rbc, self.loop_closer.tbc = self.Rbc, self.tbc
+            self.loop_closer.post_ba = lambda m: global_ba_navstate(
+                m, self.gravity_w, self.Rcb, self.tcb,
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd,
+                self.cfg.gyr_bias_rw2, self.cfg.acc_bias_rw2,
+                jnp.asarray(1.0 / self.cfg.depth_noise_sd**2, jnp.float32),
+                jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+            )
+        else:
+            # pre-init the map stores camera-as-body states: identity
+            eye3, z3 = jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+            self.loop_closer.Rcb, self.loop_closer.tcb = eye3, z3
+            self.loop_closer.Rbc, self.loop_closer.tbc = eye3, z3
+            self.loop_closer.post_ba = lambda m: global_ba_visual(
+                m, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+            )
+        self.map, st = self.loop_closer.process_keyframe(self.map, kf_slot)
+        if st.get("loop"):
+            ns_k = jax.tree_util.tree_map(lambda a: a[kf_slot],
+                                          self.map.kf_ns)
+            if self.vio_ok:
+                self.Rcw, self.tcw = _ns_to_cam_pose_ext(
+                    ns_k, self.Rcb, self.tcb)
+            else:
+                self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+            self.R_vel = jnp.eye(3, dtype=jnp.float32)
+            self.t_vel = jnp.zeros(3, jnp.float32)
+            if self.vio_ok:
+                self.ns = ns_k
+                self.ns_prev = ns_k
+                self._reset_marginal_prior()
+            self.loop_events.append((self.frame_id, st["loop_kf"]))
 
     # ------------------------------------------------------------------
     def _recompute_bias_after_recovery(self, window: int = 6):
@@ -442,7 +525,8 @@ class VipTracker(MonoTracker):
         )
         self.ns_prev = self.ns
         self.ns = self._depth_override(ns_pred)
-        self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+        from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose_ext
+        self.Rcw, self.tcw = _ns_to_cam_pose_ext(self.ns, self.Rcb, self.tcb)
 
         # propagate the recovery tracks (no landmark guesses — none exist)
         n0 = self.tracks.xy.shape[0]
@@ -463,7 +547,7 @@ class VipTracker(MonoTracker):
             status["recovery"] = "re-anchored"
             return status
 
-        Ra, ta = _ns_to_cam_pose(self.rec_anchor_ns)
+        Ra, ta = _ns_to_cam_pose_ext(self.rec_anchor_ns, self.Rcb, self.tcb)
         Rc, tc = self.Rcw, self.tcw
         R_rel_imu = mm(Rc, jnp.swapaxes(Ra, -1, -2))
         t_rel_imu = tc - mv(R_rel_imu, ta)
@@ -529,8 +613,10 @@ class VipTracker(MonoTracker):
             imu_omg=self.rec_anchor_imu["omg"], imu_acc=self.rec_anchor_imu["acc"],
             imu_dt=self.rec_anchor_imu["dt"], imu_mask=self.rec_anchor_imu["mask"],
         )
+        from uvipslam_tpu.frontend.tracker import _cam_pose_to_ns_ext
         ns_cur = dataclasses.replace(
-            _cam_pose_to_ns(R1, t1), v=self.ns.v, bg=self.ns.bg,
+            _cam_pose_to_ns_ext(R1, t1, self.Rbc, self.tbc),
+            v=self.ns.v, bg=self.ns.bg,
             ba=self.ns.ba, dbg=self.ns.dbg, dba=self.ns.dba,
         )
         m, k1 = m.add_keyframe(
@@ -548,7 +634,7 @@ class VipTracker(MonoTracker):
         k1_int = int(k1)
         ns_k = jax.tree_util.tree_map(lambda a: a[k1_int], m.kf_ns)
         self.ns = ns_k
-        self.Rcw, self.tcw = _ns_to_cam_pose(ns_k)
+        self.Rcw, self.tcw = _ns_to_cam_pose_ext(ns_k, self.Rcb, self.tcb)
         self.last_kf_slot = k1_int
         self.last_kf_frame = self.frame_id
         self.n_ref_tracked = int(jnp.sum(good))
@@ -582,6 +668,7 @@ class VipTracker(MonoTracker):
             jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
             self.cfg.gyr_bias_rw2, self.cfg.acc_bias_rw2,
             jnp.asarray(1.0 / self.cfg.depth_noise_sd**2, jnp.float32),
+            self.Rcb, self.tcb,
         )
 
     # ------------------------------------------------------------------
@@ -608,10 +695,13 @@ class VipTracker(MonoTracker):
         )
         self.map = m
 
-        # 1. gyro bias over consecutive KF pairs (vision rotations)
+        # 1. gyro bias over consecutive KF pairs (vision rotations,
+        # rotated into the BODY frame through the extrinsics: pre-init
+        # the table stores camera poses, Rwb = Rwc Rcb)
         pair_mask = m.kf_valid & (m.kf_prev >= 0)
+        Rwb_tbl = mm(m.kf_ns.R, self.Rcb)
         bg = vio_init.estimate_gyro_bias(
-            m.kf_ns.R, m.kf_preint.dR, m.kf_preint.J_R_bg, pair_mask,
+            Rwb_tbl, m.kf_preint.dR, m.kf_preint.J_R_bg, pair_mask,
         )
 
         # 2. re-integrate all KF preints with the bias (ComputePreInt)
@@ -642,7 +732,7 @@ class VipTracker(MonoTracker):
                     m.kf_valid, m.kf_imu_omg, m.kf_imu_acc,
                     m.kf_imu_dt, m.kf_imu_mask, J)
             pv = m.kf_ns.p[sel]
-            Rv = m.kf_ns.R[sel]
+            Rv = mm(m.kf_ns.R[sel], self.Rcb)
             z3v = jnp.zeros(3, jnp.float32)
             pre0v = jax.vmap(
                 lambda o, a, d, msk: preintegrate(
@@ -660,7 +750,7 @@ class VipTracker(MonoTracker):
             triple = (vvalid & jnp.roll(vvalid, 1) & jnp.roll(vvalid, 2)
                       & (vk >= 2) & (prev_.dt > 1e-6)
                       & (jnp.roll(prev_.dt, 1) > 1e-6))
-            pcb = jnp.zeros(3, jnp.float32)
+            pcb = self.tbc
             s_lin, g_w = vio_init.estimate_scale_gravity_linear(
                 pv, Rv, prev_.dP, prev_.dV, prev_.dt, pcb, triple,
             )
@@ -689,27 +779,94 @@ class VipTracker(MonoTracker):
             g_dir_vision = -ghat
 
         # rotation taking the vision gravity direction onto the configured one
-        v = jnp.cross(g_dir_vision, g_cfg_dir)
-        sn = jnp.linalg.norm(v)
-        cs = jnp.dot(g_dir_vision, g_cfg_dir)
-        axis = v / jnp.where(sn < 1e-9, 1.0, sn)
-        R_align = lie.so3_exp(axis * jnp.arctan2(sn, cs))
+        def align_from(g_dir):
+            v = jnp.cross(g_dir, g_cfg_dir)
+            sn = jnp.linalg.norm(v)
+            cs = jnp.dot(g_dir, g_cfg_dir)
+            axis = v / jnp.where(sn < 1e-9, 1.0, sn)
+            return lie.so3_exp(axis * jnp.arctan2(sn, cs))
+
+        R_align = align_from(g_dir_vision)
 
         if self.cfg.init_mode != 1:
             # 4. metric scale from pressure on gravity-aligned z
-            z_aligned = mv(R_align, m.kf_ns.p)[:, 2]
+            def pressure_scale(Ra):
+                z_aligned = mv(Ra, m.kf_ns.p)[:, 2]
+                s_gn, _ = vio_init.estimate_scale_from_pressure(
+                    z_aligned, m.kf_depth, has_depth)
+                return s_gn
+
             if int(jnp.sum(has_depth)) < 3:
                 return
-            s_gn, s_naive = vio_init.estimate_scale_from_pressure(
-                z_aligned, m.kf_depth, has_depth,
-            )
-            scale = float(s_gn)
+            scale = float(pressure_scale(R_align))
             if not np.isfinite(scale) or scale <= 1e-3:
                 return
+
+            # 4b. refine [dtheta_xy, ba] with the scale FIXED (reference:
+            # the Init_mode 2/3 second SVD, src/LocalMapping.cc:411-509):
+            # the raw accelerometer average is biased by sustained proper
+            # acceleration; the vision triplet identities pin the tilt.
+            # Strided virtual keyframes for the same noise reasons as the
+            # mode-1 linear solve (build_strided_inertial docstring).
+            dt_avg = t_span / max(n_kf - 1, 1)
+            J = max(1, int(round(self.cfg.vio_init_baseline_s / max(dt_avg, 1e-3))))
+            J = max(1, min(J, (n_kf - 2) // 4))
+            sel, vvalid, s_omg, s_acc, s_dt, s_mask = \
+                vio_init.build_strided_inertial(
+                    m.kf_valid, m.kf_imu_omg, m.kf_imu_acc,
+                    m.kf_imu_dt, m.kf_imu_mask, J)
+            pv = m.kf_ns.p[sel]
+            Rv = mm(m.kf_ns.R[sel], self.Rcb)
+            prev_ = jax.vmap(
+                lambda o, a, d, msk: preintegrate(
+                    o, a, d, msk, bg, jnp.zeros(3, jnp.float32),
+                    self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+            )(s_omg, s_acc, s_dt, s_mask)
+            vk = jnp.arange(sel.shape[0])
+            triple = (vvalid & jnp.roll(vvalid, 1) & jnp.roll(vvalid, 2)
+                      & (vk >= 2) & (prev_.dt > 1e-6)
+                      & (jnp.roll(prev_.dt, 1) > 1e-6))
+            g0 = g_dir_vision * 9.81
+            g_ref, ba_ref = vio_init.refine_gravity_accbias_fixed_scale(
+                pv, Rv, prev_.dP, prev_.dV, prev_.dt,
+                prev_.J_P_ba, prev_.J_V_ba, g0, self.tbc,
+                jnp.asarray(scale, jnp.float32), triple,
+            )
+            g_ref_dir = g_ref / jnp.maximum(jnp.linalg.norm(g_ref), 1e-9)
+            tilt = float(jnp.degrees(jnp.arccos(jnp.clip(
+                jnp.dot(g_ref_dir, g_dir_vision), -1.0, 1.0))))
+            if np.isfinite(tilt) and tilt < 15.0 and bool(
+                    jnp.all(jnp.isfinite(g_ref_dir))):
+                g_dir_vision = g_ref_dir
+                ba_est = ba_ref
+                R_align = align_from(g_dir_vision)
+                s2 = float(pressure_scale(R_align))
+                if np.isfinite(s2) and s2 > 1e-3:
+                    scale = s2
+                # re-integrate the per-KF preints at both biases before
+                # velocity recovery (as the mode-1 path does)
+                pre2 = jax.vmap(
+                    lambda o, a, d, msk: preintegrate(
+                        o, a, d, msk, bg, ba_est,
+                        self.cfg.gyr_noise_sd, self.cfg.acc_noise_sd)
+                )(m.kf_imu_omg, m.kf_imu_acc, m.kf_imu_dt, m.kf_imu_mask)
 
         # 5. apply: rotate + rescale the whole world (Map::UpdateScale)
         self._apply_world_sim3(jnp.asarray(scale, jnp.float32), R_align)
         m = self.map
+
+        # 5b. convert the KF table from camera-as-body storage to BODY
+        # NavStates through Tbc (the map is metric now, so the lever arm
+        # applies cleanly; reference: SetNavStatePos/Rot from Tcw * Tbc
+        # in TryInitVIO's acceptance, src/LocalMapping.cc:650-698)
+        if self.has_extrinsics:
+            from uvipslam_tpu.frontend.tracker import _cam_pose_to_ns_ext
+            kf_Rcw, kf_tcw = jax.vmap(_ns_to_cam_pose)(m.kf_ns)
+            ns_b = jax.vmap(
+                lambda R, t: _cam_pose_to_ns_ext(R, t, self.Rbc, self.tbc)
+            )(kf_Rcw, kf_tcw)
+            self.map = m = dataclasses.replace(
+                m, kf_ns=dataclasses.replace(m.kf_ns, p=ns_b.p, R=ns_b.R))
 
         # depth-anchor offset: world z == pressure depth (skipped in pure
         # VI mode where no pressure channel exists)
@@ -750,10 +907,11 @@ class VipTracker(MonoTracker):
         )
 
         # current-frame state: adopt last KF's state
+        from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose_ext
         k = int(self.map.n_kf) - 1
         self.ns = jax.tree_util.tree_map(lambda a: a[k], self.map.kf_ns)
         self.ns_prev = self.ns
-        self.Rcw, self.tcw = _ns_to_cam_pose(self.ns)
+        self.Rcw, self.tcw = _ns_to_cam_pose_ext(self.ns, self.Rcb, self.tcb)
         self.vio_ok = True
         self._reset_marginal_prior()
 
@@ -783,20 +941,27 @@ class VipTracker(MonoTracker):
 
 def _vi_track_jit(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                   fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                  depth, depth_info, H_prior):
+                  depth, depth_info, H_prior,
+                  Rcb=None, tcb=None):
     """VI pose solve + local-map re-association + marginalized two-state
     second solve (reference: TrackWithIMU + TrackLocalMapWithIMU with
-    bComputeMarg=true, src/Tracking.cc:1081-1149,1955-2073)."""
+    bComputeMarg=true, src/Tracking.cc:1081-1149,1955-2073). Rcb/tcb are
+    the camera-in-body extrinsics (x_c = Rcb x_b + tcb)."""
+    if Rcb is None:
+        Rcb = jnp.eye(3, dtype=jnp.float32)
+    if tcb is None:
+        tcb = jnp.zeros(3, jnp.float32)
     return __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                            fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                           depth, depth_info, H_prior)
+                           depth, depth_info, H_prior, Rcb, tcb)
 
 
 @jax.jit
 def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
                     fx, fy, cx, cy, scale_sigmas, gyr_rw2, acc_rw2,
-                    depth, depth_info, H_prior):
+                    depth, depth_info, H_prior, Rcb, tcb):
     import uvipslam_tpu.frontend.tracker as HT
+    from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose_ext
     from uvipslam_tpu.ops import hamming
     from uvipslam_tpu.solver.pose_opt import pose_optimization_vi2
 
@@ -805,8 +970,6 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     pid = jnp.clip(tracks.pt_id, 0, m.pt_cap - 1)
     pw = m.pt_xyz[pid]
     inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
-    Rcb = jnp.eye(3, dtype=dtype)
-    tcb = jnp.zeros(3, dtype)
 
     ns1, inl1, n1, _ = pose_optimization_vi(
         ns_pred, ns_ref, pre_frame, pw, tracks.xy_und,
@@ -817,7 +980,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     )
 
     # local-map re-association at the refined pose
-    Rcw, tcw = _ns_to_cam_pose(ns1)
+    Rcw, tcw = _ns_to_cam_pose_ext(ns1, Rcb, tcb)
     local_pts = m.pt_valid
     pc = mv(Rcw, m.pt_xyz) + tcw
     z = pc[:, 2]
@@ -854,7 +1017,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     )
 
     # sever hopeless associations only
-    Rcw2, tcw2 = _ns_to_cam_pose(ns2)
+    Rcw2, tcw2 = _ns_to_cam_pose_ext(ns2, Rcb, tcb)
     pc2 = mv(Rcw2, pw2) + tcw2
     z2 = jnp.where(jnp.abs(pc2[..., 2]) < 1e-6, 1e-6, pc2[..., 2])
     uv2 = jnp.stack([fx * pc2[..., 0] / z2 + cx, fy * pc2[..., 1] / z2 + cy], -1)
@@ -868,9 +1031,19 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
 W_KF_BA = 16
 
 
-@jax.jit
 def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
-               gyr_rw2, acc_rw2, depth_inv_var):
+               gyr_rw2, acc_rw2, depth_inv_var, Rcb=None, tcb=None):
+    if Rcb is None:
+        Rcb = jnp.eye(3, dtype=jnp.float32)
+    if tcb is None:
+        tcb = jnp.zeros(3, jnp.float32)
+    return __vi_ba_impl(m, gravity, fx, fy, cx, cy, scale_sigmas,
+                        gyr_rw2, acc_rw2, depth_inv_var, Rcb, tcb)
+
+
+@jax.jit
+def __vi_ba_impl(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
+                 gyr_rw2, acc_rw2, depth_inv_var, Rcb, tcb):
     """Windowed VI(P) BA over the last `W_KF_BA` keyframe slots (see
     tracker._local_ba_jit for the windowing rationale). The first slot
     of the window is the fixed boundary keyframe (its preint edge points
@@ -915,7 +1088,7 @@ def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
         kf_ns_w, fixed, kf_valid_w, m.pt_xyz, m.pt_valid,
         obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
         pre_i, pre_j, pre_w, pre_mask,
-        gravity, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        gravity, Rcb, tcb,
         fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_w, depth_info, n_iters=5, rounds=2,
     )

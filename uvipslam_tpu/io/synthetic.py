@@ -84,7 +84,13 @@ def make_sequence(
     sprite: int = 9,
     z_amp: float = 0.1,
     image_noise_seed: int | None = None,
+    Tbc: np.ndarray | None = None,
 ) -> SyntheticSequence:
+    """Tbc: optional 4x4 camera-in-body extrinsics (x_b = Rbc x_c + tbc,
+    the reference's Camera.Tbc). When given, the IMU stream describes the
+    BODY's motion (lever-arm accelerations included) and the pressure
+    depth is the body's world z — matching a real rig where the IMU and
+    pressure sensor are NOT at the camera's optical center."""
     rs = np.random.RandomState(seed)
     # separate stream for per-pixel image noise so two renders of the
     # SAME scene/trajectory can differ only in sensor noise (retrieval-
@@ -125,6 +131,23 @@ def make_sequence(
             cy_w = 0.1 * np.sin(2 * np.pi * t / t_end)
             cz_w = z_amp * np.sin(0.5 * t)
             yaw = 0.0
+        elif motion == "circuit":
+            # translation-only circular circuit at CONSTANT speed: drift
+            # accumulates around the loop (visiting distinct regions) and
+            # the final revisit of the start is a genuine loop closure —
+            # unlike "loop", whose return leg re-traces its own map so
+            # end-to-end drift self-cancels
+            # 1.1 revolutions: the final tenth RETRACES the first
+            # tenth's poses exactly, giving a real revisit window while
+            # the loop's middle visits distinct regions (so drift does
+            # not self-cancel as in "loop")
+            t_end = (n_frames - 1) * dt_img
+            r = speed * t_end / (2 * np.pi * 1.1)
+            th = 2 * np.pi * 1.1 * t / t_end
+            cx_w = r * np.sin(th)
+            cy_w = r * (np.cos(th) - 1.0)
+            cz_w = z_amp * np.sin(th)   # periodic with the revolution:
+            yaw = 0.0                   # retraced frames share their z
         else:  # forward
             cx_w, cy_w, cz_w, yaw = 0.0, 0.0, speed * t, 0.0
         centers.append([cx_w, cy_w, cz_w])
@@ -147,14 +170,25 @@ def make_sequence(
     span_x = speed * ts[-1] + 6.0
     sizes = np.array([sprite, sprite * 2 + 1, sprite * 4 + 1])
     cls = rs.choice(3, n_points, p=[0.6, 0.3, 0.1])
-    pts = np.stack(
-        [
-            rs.uniform(-3.0, span_x, n_points),
-            rs.uniform(-2.2, 2.2, n_points),
-            rs.uniform(2.5, 7.0, n_points),
-        ],
-        axis=-1,
-    )
+    if motion == "circuit":
+        r_c = speed * ts[-1] / (2 * np.pi * 1.1)
+        pts = np.stack(
+            [
+                rs.uniform(-r_c - 3.0, r_c + 3.0, n_points),
+                rs.uniform(-2.0 * r_c - 2.2, 2.2, n_points),
+                rs.uniform(2.5, 7.0, n_points),
+            ],
+            axis=-1,
+        )
+    else:
+        pts = np.stack(
+            [
+                rs.uniform(-3.0, span_x, n_points),
+                rs.uniform(-2.2, 2.2, n_points),
+                rs.uniform(2.5, 7.0, n_points),
+            ],
+            axis=-1,
+        )
     # spatially-correlated textures: random at ~1/3 resolution, bilinearly
     # upsampled — real imagery is smooth at pixel scale, and per-pixel
     # white noise would make ANY binary descriptor decorrelate under
@@ -212,7 +246,12 @@ def make_sequence(
             img[y0:y1, x0:x1] = s_shift[y0 - iv : y1 - iv, x0 - iu : x1 - iu]
         images[f] = img + rs_img.randn(H, W).astype(np.float32) * 1.0
 
-    # ---- IMU (body frame == camera frame) ----
+    # ---- IMU (body frame; == camera frame unless Tbc given) ----
+    Tbc_np = np.eye(4) if Tbc is None else np.asarray(Tbc, np.float64)
+    Rbc_ = Tbc_np[:3, :3]
+    tbc_ = Tbc_np[:3, 3]
+    Rcb_ = Rbc_.T
+    tcb_ = -Rbc_.T @ tbc_
     n_sub = max(1, int(round(imu_rate / fps)))
     dt_imu = dt_img / n_sub
     S = n_sub
@@ -249,28 +288,51 @@ def make_sequence(
                 0.1 * np.sin(2 * np.pi * t / t_end),
                 z_amp * np.sin(0.5 * t),
             ])
+        if motion == "circuit":
+            t_end = (n_frames - 1) * dt_img
+            r = speed * t_end / (2 * np.pi * 1.1)
+            th = 2 * np.pi * 1.1 * t / t_end
+            return np.array([
+                r * np.sin(th),
+                r * (np.cos(th) - 1.0),
+                z_amp * np.sin(th),
+            ])
         return np.array([0.0, 0.0, speed * t])
 
     def yaw_at(t):
         return 0.12 * np.sin(0.4 * t) if motion in ("arc", "excited") else 0.0
 
+    def Rwc_at(t):
+        return _so3_exp_np(np.array([0.0, yaw_at(t), 0.0]))
+
+    def Rwb_at(t):
+        return Rwc_at(t) @ Rcb_
+
+    def body_center_at(t):
+        # Twb = Twc * Tbc^-1: p_b = C + Rwc tcb
+        return center_at(t) + Rwc_at(t) @ tcb_
+
     for f in range(1, n_frames):
         for s in range(S):
             t_a = (f - 1) * dt_img + s * dt_imu
             t_b = t_a + dt_imu
-            Rwa = _so3_exp_np(np.array([0.0, yaw_at(t_a), 0.0]))
-            Rwb = _so3_exp_np(np.array([0.0, yaw_at(t_b), 0.0]))
+            Rwa = Rwb_at(t_a)
+            Rwb = Rwb_at(t_b)
             w_body = _so3_log_np(Rwa.T @ Rwb) / dt_imu
-            # world acceleration by central difference
+            # world acceleration of the BODY origin by central difference
+            # (the lever arm makes this differ from the camera's when
+            # Tbc != I and the rig rotates)
             eps = dt_imu
-            a_w = (center_at(t_b + eps) - 2 * center_at(t_b) + center_at(t_b - eps)) / eps**2
+            a_w = (body_center_at(t_b + eps) - 2 * body_center_at(t_b)
+                   + body_center_at(t_b - eps)) / eps**2
             f_body = Rwb.T @ (a_w - g_w)
             imu_omg[f, s] = w_body + bg + rs.randn(3) * gyr_noise
             imu_acc[f, s] = f_body + ba + rs.randn(3) * acc_noise
             imu_dt[f, s] = dt_imu
             imu_mask[f, s] = 1.0
 
-    depth = centers[:, 2] + rs.randn(n_frames) * depth_noise
+    body_z = np.array([body_center_at(t)[2] for t in ts])
+    depth = body_z + rs.randn(n_frames) * depth_noise
     return SyntheticSequence(
         images=images, timestamps=ts, R_cw=R_cw, t_cw=t_cw, K=K,
         imu_omg=imu_omg, imu_acc=imu_acc, imu_dt=imu_dt, imu_mask=imu_mask,

@@ -28,7 +28,11 @@ import numpy as np
 
 from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
-from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose
+from uvipslam_tpu.frontend.tracker import (
+    _cam_pose_to_ns_ext,
+    _ns_to_cam_pose,
+    _ns_to_cam_pose_ext,
+)
 from uvipslam_tpu.loop import haloc
 from uvipslam_tpu.loop.reloc import _codebook
 from uvipslam_tpu.loop.vocab import bow_vector, l1_score
@@ -85,7 +89,8 @@ def min_covisible_score(m: MapState, query_kf: int, covis_th: int = 15):
 
 
 def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
-                      fx, fy, cx, cy, min_inliers: int = 20):
+                      fx, fy, cx, cy, min_inliers: int = 12,
+                      Rcb=None, tcb=None):
     """Match landmarks between two keyframes and solve the relative Sim3
     (reference: ComputeSim3 — SearchByBoW matches -> Sim3Solver RANSAC ->
     OptimizeSim3 -> Sim3-guided projection search extends the matches ->
@@ -94,9 +99,13 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     kf_a-camera coords."""
     da, va = m.kf_feat_desc[kf_a], m.kf_feat_valid[kf_a] & (m.kf_feat_pt[kf_a] >= 0)
     db, vb = m.kf_feat_desc[kf_b], m.kf_feat_valid[kf_b] & (m.kf_feat_pt[kf_b] >= 0)
-    # appearance matches feed RANSAC directly — no mutual cross-check
-    # (the reference's SearchByBoW doesn't cross-check either; the Sim3
-    # RANSAC is the outlier filter)
+    # appearance matches feed RANSAC directly — no mutual cross-check and
+    # no BoW-word constraint (measured on revisit pairs: the word gate
+    # forces true partners that quantize across a word boundary onto
+    # wrong same-word repetitive-texture matches — 0/15 geometrically
+    # consistent vs 10/31 for the open ratio test; the Sim3 RANSAC is
+    # the outlier filter, as in the reference where SearchByBoW feeds
+    # Sim3Solver RANSAC unchecked)
     idx, dist, ok = hamming.match_best(da, db, va, vb,
                                        max_dist=hamming.TH_HIGH, ratio=0.9)
     # rotation-consistency gate (reference: SearchByBoW's orientation
@@ -108,11 +117,16 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     pid_b = m.kf_feat_pt[kf_b][jnp.clip(idx, 0, m.n_feat - 1)]
     good = ok & (pid_a >= 0) & (pid_b >= 0)
 
-    # landmark positions in each keyframe's CAMERA frame
+    # landmark positions in each keyframe's CAMERA frame (through the
+    # body-camera extrinsics when the map stores body NavStates)
+    if Rcb is None:
+        Rcb = jnp.eye(3, dtype=jnp.float32)
+    if tcb is None:
+        tcb = jnp.zeros(3, jnp.float32)
     ns_a = jax.tree_util.tree_map(lambda x: x[kf_a], m.kf_ns)
     ns_b = jax.tree_util.tree_map(lambda x: x[kf_b], m.kf_ns)
-    Ra, ta = _ns_to_cam_pose(ns_a)
-    Rb, tb = _ns_to_cam_pose(ns_b)
+    Ra, ta = _ns_to_cam_pose_ext(ns_a, Rcb, tcb)
+    Rb, tb = _ns_to_cam_pose_ext(ns_b, Rcb, tcb)
     Xa = mv(Ra, m.pt_xyz[jnp.clip(pid_a, 0, m.pt_cap - 1)]) + ta
     Xb = mv(Rb, m.pt_xyz[jnp.clip(pid_b, 0, m.pt_cap - 1)]) + tb
 
@@ -156,41 +170,87 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     # drag the refinement off
     if int(n2) > int(n_in):
         s, R, t, n_in = s2, R2, t2, n2
-    return int(n_in) >= min_inliers, s, R, t, int(n_in)
+    # scale sanity: a genuine metric-map loop has s near 1 (both sides of
+    # the loop share the VIO/pressure scale); wildly scaled "solutions"
+    # are repetitive-texture mirages (observed s up to 13 on spurious
+    # candidates that still collect a few coincidental inliers)
+    s_sane = bool(jnp.isfinite(s)) and 1.0 / 3.0 < float(s) < 3.0
+    ok = (int(n_in) >= min_inliers) and s_sane
+    return ok, s, R, t, int(n_in)
+
+
+COVIS_EDGE_W = 100    # covisibility-edge weight threshold (ref :2570 minFeat)
+COVIS_EDGE_CAP = 128  # fixed capacity for covisibility edges
 
 
 def close_loop(m: MapState, query_kf: int, loop_kf: int,
-               s_rel, R_rel, t_rel, n_iters: int = 20) -> MapState:
+               s_rel, R_rel, t_rel, n_iters: int = 20,
+               Rcb=None, tcb=None, Rbc=None, tbc=None) -> MapState:
     """Apply a verified loop: essential-graph optimization + landmark
-    correction (reference: CorrectLoop + OptimizeEssentialGraph).
+    correction (reference: CorrectLoop + OptimizeEssentialGraph,
+    src/Optimizer.cc:2409-2658).
 
-    The pose graph state is each KF's world->camera Sim3 (scale 1);
-    odometry edges link consecutive KFs with their current relative
-    transforms; the loop edge carries the measured Sim3.
+    The pose graph state is each KF's world->camera Sim3 (scale 1). The
+    edge set matches the reference's: the kf_prev spanning chain, strong
+    covisibility edges (weight >= COVIS_EDGE_W, :2570), ALL past loop
+    edges retained in the map (:2529-2545), plus the new measured loop
+    edge. NavState velocities are re-expressed through each keyframe's
+    correction so the VI pipeline stays consistent after the closure.
     """
     K = m.kf_cap
-    kf_R, kf_t = jax.vmap(lambda i: _ns_to_cam_pose(
-        jax.tree_util.tree_map(lambda x: x[i], m.kf_ns)))(jnp.arange(K))
+    if Rcb is None:
+        Rcb = jnp.eye(3, dtype=jnp.float32)
+        tcb = jnp.zeros(3, jnp.float32)
+        Rbc = jnp.eye(3, dtype=jnp.float32)
+        tbc = jnp.zeros(3, jnp.float32)
+    kf_R, kf_t = jax.vmap(lambda i: _ns_to_cam_pose_ext(
+        jax.tree_util.tree_map(lambda x: x[i], m.kf_ns), Rcb, tcb)
+    )(jnp.arange(K))
     kf_s = jnp.ones((K,), jnp.float32)
 
-    # odometry edges: S_m = S_j S_i^-1 from current estimates
-    e_i = jnp.arange(K, dtype=jnp.int32)
-    e_j = jnp.clip(e_i - 1, 0, K - 1)      # edge (k, k-1)
-    S_i = (kf_s[e_i], kf_R[e_i], kf_t[e_i])
-    S_j = (kf_s[e_j], kf_R[e_j], kf_t[e_j])
-    Sm = lie.sim3_compose(*S_j, *lie.sim3_inverse(*S_i))
-    e_mask = m.kf_valid & (e_i > 0) & m.kf_valid[e_j]
+    def rel_sim3(i, j):
+        """Current relative Sim3 measurement S_j S_i^-1 (scale 1)."""
+        S_i = (kf_s[i], kf_R[i], kf_t[i])
+        S_j = (kf_s[j], kf_R[j], kf_t[j])
+        return lie.sim3_compose(*S_j, *lie.sim3_inverse(*S_i))
 
-    # append the loop edge: the measured Sim3 maps loop-KF camera coords
+    # 1. spanning chain: edge (k, prev(k)) with current relative pose
+    e_i = jnp.arange(K, dtype=jnp.int32)
+    e_j = jnp.clip(m.kf_prev, 0, K - 1)
+    Sm = rel_sim3(e_i, e_j)
+    e_mask = m.kf_valid & (m.kf_prev >= 0) & m.kf_valid[e_j]
+
+    # 2. strong covisibility edges (weight >= COVIS_EDGE_W), excluding
+    # pairs already linked by the chain; fixed-capacity top-K by weight
+    W = m.covisibility_matrix()
+    ii = jnp.arange(K)[:, None]
+    jj = jnp.arange(K)[None, :]
+    upper = jj > ii
+    chain = (m.kf_prev[None, :] == ii) | (m.kf_prev[:, None] == jj)
+    covis_ok = upper & ~chain & (W >= COVIS_EDGE_W)
+    w_flat = jnp.where(covis_ok, W, 0.0).reshape(-1)
+    topw, topidx = jax.lax.top_k(w_flat, min(COVIS_EDGE_CAP, K * K))
+    c_i = (topidx // K).astype(jnp.int32)
+    c_j = (topidx % K).astype(jnp.int32)
+    c_mask = topw > 0
+    Sc = rel_sim3(c_i, c_j)
+
+    # 3. past loop edges with their STORED measurements
+    l_i = jnp.clip(m.loop_i, 0, K - 1)
+    l_j = jnp.clip(m.loop_j, 0, K - 1)
+    l_mask = (jnp.arange(m.loop_i.shape[0]) < m.n_loop) & (m.loop_i >= 0)
+
+    # 4. the new loop edge: the measured Sim3 maps loop-KF camera coords
     # into query-KF camera coords, i.e. S_query = S_rel S_loop; the factor
     # convention r = log(S_m S_i S_j^-1) = 0 with S_m = S_j S_i^-1 makes
     # that edge (i=loop, j=query) with measurement S_rel
-    e_i = jnp.concatenate([e_i, jnp.asarray([loop_kf], jnp.int32)])
-    e_j = jnp.concatenate([e_j, jnp.asarray([query_kf], jnp.int32)])
-    m_s = jnp.concatenate([Sm[0], jnp.asarray([s_rel], jnp.float32)])
-    m_R = jnp.concatenate([Sm[1], R_rel[None]])
-    m_t = jnp.concatenate([Sm[2], t_rel[None]])
-    e_mask = jnp.concatenate([e_mask, jnp.asarray([True])])
+    e_i = jnp.concatenate([e_i, c_i, l_i, jnp.asarray([loop_kf], jnp.int32)])
+    e_j = jnp.concatenate([e_j, c_j, l_j, jnp.asarray([query_kf], jnp.int32)])
+    m_s = jnp.concatenate([Sm[0], Sc[0], m.loop_s,
+                           jnp.asarray([s_rel], jnp.float32)])
+    m_R = jnp.concatenate([Sm[1], Sc[1], m.loop_R, R_rel[None]])
+    m_t = jnp.concatenate([Sm[2], Sc[2], m.loop_t, t_rel[None]])
+    e_mask = jnp.concatenate([e_mask, c_mask, l_mask, jnp.asarray([True])])
 
     fixed = jnp.zeros((K,), bool).at[loop_kf].set(True)
     s2, R2, t2 = optimize_essential_graph(
@@ -202,16 +262,23 @@ def close_loop(m: MapState, query_kf: int, loop_kf: int,
         m.pt_xyz, m.pt_ref_kf, kf_s, kf_R, kf_t, s2, R2, t2, m.pt_valid,
     )
 
-    # write corrected camera poses back as NavStates (scale folds into t)
-    def to_ns(s, R, t, ns_old):
+    # write corrected camera poses back as NavStates (scale folds into t);
+    # velocity is a world-frame free vector: apply the linear part of the
+    # per-KF world correction T_k = S_new^-1 S_old (a world->world Sim3)
+    def to_ns(s, R, t, R_old, ns_old):
         Rcw = R
         tcw = t / jnp.maximum(s, 1e-9)
+        ns_new = _cam_pose_to_ns_ext(Rcw, tcw, Rbc, tbc)
         Rwc = jnp.swapaxes(Rcw, -1, -2)
-        C = -mv(Rwc, tcw)
-        return dataclasses.replace(ns_old, p=C, R=Rwc)
+        L = (1.0 / jnp.maximum(s, 1e-9)) * mm(Rwc, R_old)
+        return dataclasses.replace(ns_old, p=ns_new.p, R=ns_new.R,
+                                   v=mv(L, ns_old.v))
 
-    kf_ns2 = jax.vmap(to_ns)(s2, R2, t2, m.kf_ns)
-    return dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2)
+    kf_ns2 = jax.vmap(to_ns)(s2, R2, t2, kf_R, m.kf_ns)
+    m = dataclasses.replace(m, kf_ns=kf_ns2, pt_xyz=pts2)
+    # retain the new loop edge for future closures
+    return m.add_loop_edge(jnp.asarray(loop_kf), jnp.asarray(query_kf),
+                           jnp.asarray(s_rel, jnp.float32), R_rel, t_rel)
 
 
 class LoopCloser:
@@ -229,17 +296,33 @@ class LoopCloser:
 
     def __init__(self, fx, fy, cx, cy, consistency_th: int = 3,
                  covis_th: int = 15, min_gap: int = 10,
-                 min_sim3_inliers: int = 20, seed: int = 11):
+                 min_sim3_inliers: int = 12, seed: int = 11):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.consistency_th = consistency_th
         self.covis_th = covis_th
         self.min_gap = min_gap
         self.min_sim3_inliers = min_sim3_inliers
         self.key = jax.random.PRNGKey(seed)
+        # body-camera extrinsics (identity unless the VIP tracker sets
+        # them); used to express body NavStates as camera poses
+        self.Rcb = jnp.eye(3, dtype=jnp.float32)
+        self.tcb = jnp.zeros(3, jnp.float32)
+        self.Rbc = jnp.eye(3, dtype=jnp.float32)
+        self.tbc = jnp.zeros(3, jnp.float32)
         # list of (frozenset group, chain_length)
         self.consistent_groups: list[tuple[frozenset, int]] = []
         self.last_loop_kf: int = -(10 ** 9)
         self.n_closed = 0
+        # post-correction polish BA (reference: RunGlobalBundleAdjustment
+        # after CorrectLoop, src/LoopClosing.cc:691). Visual-only by
+        # default; the VIP tracker swaps in the NavState form once VIO is
+        # initialized (reference: GlobalBundleAdjustmentNavState).
+        from uvipslam_tpu.solver.global_ba import global_ba_visual
+
+        self.post_ba = lambda m: global_ba_visual(
+            m, self.fx, self.fy, self.cx, self.cy,
+            jnp.asarray([1.2 ** (2 * i) for i in range(8)], jnp.float32),
+        )
 
     def _split(self):
         self.key, k = jax.random.split(self.key)
@@ -287,22 +370,21 @@ class LoopCloser:
                 m, query_kf, c, self._split(),
                 self.fx, self.fy, self.cx, self.cy,
                 min_inliers=self.min_sim3_inliers,
+                Rcb=self.Rcb, tcb=self.tcb,
             )
             if not ok:
                 continue
             # --- correct: pose graph + landmark sweep + post-loop fuse
-            m = close_loop(m, query_kf, c, s, R, t)
+            m = close_loop(m, query_kf, c, s, R, t,
+                           Rcb=self.Rcb, tcb=self.tcb,
+                           Rbc=self.Rbc, tbc=self.tbc)
             from uvipslam_tpu.mapstate.hygiene import fuse_duplicates
             m = fuse_duplicates(m)
-            # polish with a full visual BA (reference: LoopClosing spawns
+            # polish (reference: LoopClosing spawns
             # RunGlobalBundleAdjustment after CorrectLoop,
             # src/LoopClosing.cc:691) — the pose graph distributes the
             # loop error, the BA re-grounds it in the reprojections
-            from uvipslam_tpu.solver.global_ba import global_ba_visual
-            m = global_ba_visual(
-                m, self.fx, self.fy, self.cx, self.cy,
-                jnp.asarray([1.2 ** (2 * i) for i in range(8)], jnp.float32),
-            )
+            m = self.post_ba(m)
             self.last_loop_kf = query_kf
             self.n_closed += 1
             self.consistent_groups = []

@@ -34,6 +34,7 @@ from uvipslam_tpu.core.preintegration import PreintState
 from uvipslam_tpu.core.state import NavState
 
 N_BITS = 256
+LOOP_CAP = 16
 
 
 @jax.tree_util.register_dataclass
@@ -77,9 +78,18 @@ class MapState:
     pt_found: jax.Array        # [P] f32 counters for found/visible ratio
     pt_visible: jax.Array      # [P] f32
     pt_first_frame: jax.Array  # [P] i32 frame id at creation (for culling)
+    # --- retained loop edges (reference: KeyFrame::AddLoopEdge feeding
+    # every later OptimizeEssentialGraph, src/KeyFrame.cc + Optimizer.cc:
+    # 2529-2545 — past loop edges keep multi-loop trajectories consistent)
+    loop_i: jax.Array          # [L] i32 loop-KF slot
+    loop_j: jax.Array          # [L] i32 query-KF slot
+    loop_s: jax.Array          # [L] measured relative Sim3 (j<-i, camera)
+    loop_R: jax.Array          # [L, 3, 3]
+    loop_t: jax.Array          # [L, 3]
     # --- counters ------------------------------------------------------
     n_kf: jax.Array            # i32 next free KF slot
     n_pt: jax.Array            # i32 next free landmark slot
+    n_loop: jax.Array          # i32 number of stored loop edges
 
     # -------------------------------------------------------------------
 
@@ -138,8 +148,33 @@ class MapState:
             pt_found=jnp.ones((P,), dtype),
             pt_visible=jnp.ones((P,), dtype),
             pt_first_frame=jnp.full((P,), -1, jnp.int32),
+            loop_i=jnp.full((LOOP_CAP,), -1, jnp.int32),
+            loop_j=jnp.full((LOOP_CAP,), -1, jnp.int32),
+            loop_s=jnp.ones((LOOP_CAP,), dtype),
+            loop_R=jnp.tile(jnp.eye(3, dtype=dtype)[None], (LOOP_CAP, 1, 1)),
+            loop_t=jnp.zeros((LOOP_CAP, 3), dtype),
             n_kf=jnp.asarray(0, jnp.int32),
             n_pt=jnp.asarray(0, jnp.int32),
+            n_loop=jnp.asarray(0, jnp.int32),
+        )
+
+    def add_loop_edge(self, kf_i, kf_j, s, R, t) -> "MapState":
+        """Record an accepted loop closure's measured relative Sim3
+        (camera frame, j<-i) for reuse by every later essential-graph
+        pass (reference: KeyFrame::AddLoopEdge)."""
+        k = jnp.minimum(self.n_loop, self.loop_i.shape[0] - 1)
+        return dataclasses.replace(
+            self,
+            loop_i=self.loop_i.at[k].set(jnp.asarray(kf_i, jnp.int32)),
+            loop_j=self.loop_j.at[k].set(jnp.asarray(kf_j, jnp.int32)),
+            loop_s=self.loop_s.at[k].set(
+                jnp.asarray(s, self.loop_s.dtype)),
+            loop_R=self.loop_R.at[k].set(
+                jnp.asarray(R, self.loop_R.dtype)),
+            loop_t=self.loop_t.at[k].set(
+                jnp.asarray(t, self.loop_t.dtype)),
+            n_loop=jnp.minimum(self.n_loop + 1,
+                               jnp.asarray(self.loop_i.shape[0], jnp.int32)),
         )
 
     # -------------------------------------------------------------------
@@ -174,12 +209,11 @@ class MapState:
         keyframe (reference: ComputeBoW/ComputeHaloc at insertion) so
         loop/reloc queries are O(K) scoring, never O(K·F·W) recompute."""
         from uvipslam_tpu.loop.haloc import compute_hash
-        from uvipslam_tpu.loop.reloc import _codebook
+        from uvipslam_tpu.loop.reloc import _codebook, _idf
         from uvipslam_tpu.loop.vocab import bow_vector
 
         cb = _codebook()
-        bow = bow_vector(feat_desc, feat_valid, cb,
-                         jnp.ones((cb.shape[0],), self.kf_bow.dtype))
+        bow = bow_vector(feat_desc, feat_valid, cb, _idf())
         hsh = compute_hash(feat_desc, feat_valid)
 
         k = self.n_kf

@@ -277,6 +277,85 @@ def refine_scale_gravity_accbias(
     return s, g_w, ba
 
 
+def refine_gravity_accbias_fixed_scale(
+    kf_p_c: jax.Array,     # [K, 3] camera centers (vision frame)
+    kf_R_wb: jax.Array,    # [K, 3, 3]
+    pre_dP: jax.Array,     # [K, 3] preint dP (prev -> k), gyro-bias corrected
+    pre_dV: jax.Array,     # [K, 3]
+    pre_dt: jax.Array,     # [K]
+    J_P_ba: jax.Array,     # [K, 3, 3]
+    J_V_ba: jax.Array,     # [K, 3, 3]
+    g0: jax.Array,         # [3] gravity estimate (vision frame, |g0|~9.81)
+    pcb: jax.Array,        # [3]
+    s_fixed: jax.Array,    # scalar metric scale (from pressure)
+    triple_mask: jax.Array,
+    g_mag: float = 9.810,
+    sigma_dth: float = 0.3,
+    sigma_ba: float = 0.2,
+):
+    """The reference's Init_mode 2/3 SECOND solve: [dtheta_xy, ba] (5x1
+    SVD) with the SCALE FIXED from the pressure channel (reference:
+    src/LocalMapping.cc:411-509 — after OptimizeInitialScale the gravity
+    direction from the raw accelerometer average is refined against the
+    vision triplet identities; the raw average is biased by sustained
+    proper acceleration, e.g. an AUV accelerating along a survey leg).
+    Returns (g_w_refined, ba)."""
+    dtype = kf_p_c.dtype
+    K = kf_p_c.shape[0]
+    c1 = jnp.roll(kf_p_c, 2, 0)
+    c2 = jnp.roll(kf_p_c, 1, 0)
+    c3 = kf_p_c
+    Rb1 = jnp.roll(kf_R_wb, 2, 0)
+    Rb2 = jnp.roll(kf_R_wb, 1, 0)
+    Rb3 = kf_R_wb
+    dp12 = jnp.roll(pre_dP, 1, 0)
+    dv12 = jnp.roll(pre_dV, 1, 0)
+    dp23 = pre_dP
+    Jp12 = jnp.roll(J_P_ba, 1, 0)
+    Jv12 = jnp.roll(J_V_ba, 1, 0)
+    Jp23 = J_P_ba
+    T12 = jnp.roll(pre_dt, 1, 0)[:, None]
+    T23 = pre_dt[:, None]
+
+    gI = jnp.asarray([0.0, 0.0, -g_mag], dtype)
+    g0_dir = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+    Rwi = rotation_to_gravity(-g0_dir)
+    gw0 = mv(Rwi, gI)
+
+    lam = (c3 - c2) * T12 - (c2 - c1) * T23
+    beta_coef = -0.5 * (T12 * T12 * T23 + T12 * T23 * T23)
+    dG = -mm(Rwi, _hat(gI))[:, :2]
+    beta_th = beta_coef[..., None] * jnp.broadcast_to(dG, (K, 3, 2))
+    psi = (
+        mm(Rb2, Jp23) * T12[..., None]
+        - mm(Rb1, Jp12) * T23[..., None]
+        + mm(Rb1, Jv12) * (T12 * T23)[..., None]
+    )
+    gamma0 = (
+        mv(Rb2, dp23) * T12
+        - mv(Rb1, dp12) * T23
+        + mv(Rb1, dv12) * (T12 * T23)
+        - (mv(Rb3 - Rb2, pcb) * T12 - mv(Rb2 - Rb1, pcb) * T23)
+    )
+    # scale column moves to the right-hand side
+    b = gamma0 - beta_coef * gw0 - lam * s_fixed
+
+    idx = jnp.arange(K)
+    w = (triple_mask & (idx >= 2)).astype(dtype)
+    A = jnp.concatenate([beta_th, -psi], axis=-1)  # [K, 3, 5]
+    A = A * w[:, None, None]
+    bb = (b * w[:, None]).reshape(-1)
+    A2 = A.reshape(-1, 5)
+    prior = jnp.asarray(
+        [1.0 / sigma_dth**2, 1.0 / sigma_dth**2,
+         1.0 / sigma_ba**2, 1.0 / sigma_ba**2, 1.0 / sigma_ba**2], dtype)
+    H = A2.T @ A2 + jnp.diag(prior) + 1e-9 * jnp.eye(5, dtype=dtype)
+    x = jnp.linalg.solve(H, A2.T @ bb)
+    dth, ba = x[0:2], x[2:5]
+    g_w = mv(mm(Rwi, lie.so3_exp(jnp.asarray([dth[0], dth[1], 0.0], dtype))), gI)
+    return g_w, ba
+
+
 def _hat(v):
     return jnp.asarray([
         [0.0, -v[2], v[1]],
