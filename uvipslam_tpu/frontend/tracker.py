@@ -562,13 +562,13 @@ def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
     pw = m.pt_xyz[pid]
     inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
 
-    # 3x6 instead of the reference's 4x10 LM schedule: each LM step is a
+    # 2x5 instead of the reference's 4x10 LM schedule: each LM step is a
     # SERIAL device round (the top cost of a WORKING frame); the second
     # solve below refines from this one's output, so the combined budget
     # matches the reference's accuracy (ATE-gated by the e2e tests)
     R1, t1, inl1, n1 = pose_optimization_se3(
         Rp, tp, pw, tracks.xy_und, has_pt & m.pt_valid[pid], inv_sig,
-        fx, fy, cx, cy, rounds=3, iters=6,
+        fx, fy, cx, cy, rounds=2, iters=5,
     )
 
     # --- local map search (SearchByProjection vs local points) ---
@@ -605,7 +605,7 @@ def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
     R2, t2, inl2, n2 = pose_optimization_se3(
         R1, t1, pw2, tracks2.xy_und, has2 & m.pt_valid[pid2],
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
-        fx, fy, cx, cy, rounds=2, iters=6,
+        fx, fy, cx, cy, rounds=2, iters=4,
     )
     # Associations of per-frame outliers are KEPT (the reference keeps
     # mvpMapPoints and only flags mvbOutlier for the current solve) —
@@ -725,7 +725,7 @@ def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
         kf_R, kf_t, kf_fixed_w, kf_valid_w,
         m.pt_xyz, m.pt_valid,
         obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
-        fx, fy, cx, cy, n_iters=5, rounds=2,
+        fx, fy, cx, cy, n_iters=3, rounds=2,
     )
     ns_new = jax.vmap(_cam_pose_to_ns)(Rn, tn)
     # write the window back

@@ -976,7 +976,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
         has_pt & m.pt_valid[pid], inv_sig, gravity, Rcb, tcb,
         fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_meas=depth, depth_info=depth_info,
-        use_depth=True, rounds=3, iters=8,
+        use_depth=True, rounds=2, iters=6,
     )
 
     # local-map re-association at the refined pose
@@ -1013,7 +1013,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
         gravity, Rcb, tcb, fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_meas=depth, depth_info=depth_info, use_depth=True,
-        rounds=2, iters=8,
+        rounds=2, iters=5,
     )
 
     # sever hopeless associations only
@@ -1090,7 +1090,7 @@ def __vi_ba_impl(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,
         pre_i, pre_j, pre_w, pre_mask,
         gravity, Rcb, tcb,
         fx, fy, cx, cy, gyr_rw2, acc_rw2,
-        depth_w, depth_info, n_iters=5, rounds=2,
+        depth_w, depth_info, n_iters=3, rounds=2,
     )
     kf_ns2 = jax.tree_util.tree_map(
         lambda tbl, w: jax.lax.dynamic_update_slice_in_dim(tbl, w, lo, axis=0),

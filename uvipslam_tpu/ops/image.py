@@ -89,10 +89,22 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
 
 
 def pyr_down(img: jax.Array) -> jax.Array:
-    """cv::pyrDown-style: 5-tap Gaussian then 2x decimation."""
+    """cv::pyrDown-style: 5-tap Gaussian + 2x decimation, with the
+    stride-2 decimation FOLDED INTO the tap slices so only the kept
+    rows/columns are ever computed (4x less VPU work and intermediate
+    traffic than smooth-then-decimate)."""
     k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=img.dtype) / 16.0
-    sm = _conv1d(_conv1d(img, k, 0), k, 1)
-    return sm[::2, ::2]
+    H, W = img.shape
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    img_p = jnp.pad(img, ((2, 2), (0, 0)), mode="reflect")
+    v = jnp.zeros((Ho, W), img.dtype)
+    for i in range(5):
+        v = v + k[i] * lax.slice(img_p, (i, 0), (i + 2 * Ho - 1, W), (2, 1))
+    v_p = jnp.pad(v, ((0, 0), (2, 2)), mode="reflect")
+    out = jnp.zeros((Ho, Wo), img.dtype)
+    for j in range(5):
+        out = out + k[j] * lax.slice(v_p, (0, j), (Ho, j + 2 * Wo - 1), (1, 2))
+    return out
 
 
 def bilinear_sample(img: jax.Array, xy: jax.Array, pad_value: float = 0.0) -> jax.Array:

@@ -205,14 +205,107 @@ def _extract_patches(img: jax.Array, pts: jax.Array, psize: int):
 
 def _sample_patch(patches: jax.Array, center: jax.Array, win: int) -> jax.Array:
     """Bilinear-sample a [win, win] window centered at fractional `center`
-    [N, 2] (patch coords) from [N, P, P] patches — two interpolation
+    [N, 2] (patch coords) from [N, Py, Px] patches — two interpolation
     matmuls, zero gathers. Returns [N, win, win]."""
-    P = patches.shape[-1]
+    Py = patches.shape[-2]
+    Px = patches.shape[-1]
     r = win // 2
-    Wy = _interp_operator(center[:, 1] - r, win, P)   # [N, win, P]
-    Wx = _interp_operator(center[:, 0] - r, win, P)
+    Wy = _interp_operator(center[:, 1] - r, win, Py)   # [N, win, Py]
+    Wx = _interp_operator(center[:, 0] - r, win, Px)
     tmp = jnp.einsum("nip,npq->niq", Wy, patches)
     return jnp.einsum("niq,njq->nij", tmp, Wx)
+
+
+# ---------------------------------------------------------------------------
+# Pallas patch extraction (TPU): the slab form above materializes an
+# [N, P, W] HBM intermediate (~21 MB at bench shapes) and re-reads it for
+# the column slice; the kernel keeps the IMAGE resident in VMEM and each
+# program emits its [P_rows, 128] window directly — HBM traffic drops to
+# the image (once) + the packed patches.
+
+_PATCH_LANES = 128          # patch width = one lane tile
+_FEATS_PER_PROG = 8
+
+
+def _extract_patches_pallas(img: jax.Array, pts: jax.Array, psize: int):
+    """TPU kernel form of `_extract_patches`. Returns
+    (patches [N, PR, 128], local [N, 2]) where PR = roundup(psize+8, 8);
+    the guaranteed-real content covers at least the [psize, psize]
+    neighborhood of each point recorded by `local` (patch coords).
+
+    Alignment rules (Mosaic): dynamic row starts must be sublane (8)
+    aligned -> snap y down and carry the remainder in `local`; dynamic
+    column starts must be lane (128) aligned -> slice an aligned 256-wide
+    window and rotate the residual offset with a dynamic `pltpu.roll`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = img.shape
+    N = pts.shape[0]
+    PR = ((psize + 8) + 7) // 8 * 8
+    PL = _PATCH_LANES
+    G = _FEATS_PER_PROG
+    assert psize <= PL - 1, psize
+    # pad the image so the aligned slices below always exist
+    Hp = max((H + 7) // 8 * 8, PR)
+    Wp = max((W + 127) // 128 * 128, 2 * PL)
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)))
+    Np = (N + G - 1) // G * G
+
+    half = psize // 2
+    x0 = jnp.clip(jnp.floor(pts[:, 0]).astype(jnp.int32) - half, 0, W - psize)
+    y0 = jnp.clip(jnp.floor(pts[:, 1]).astype(jnp.int32) - half, 0, H - psize)
+    # content window start actually extracted
+    x0c = jnp.minimum(x0, Wp - PL)
+    ya = jnp.minimum((y0 // 8) * 8, Hp - PR)
+    local = pts - jnp.stack([x0c, ya], -1).astype(pts.dtype)
+    if Np != N:
+        pad = Np - N
+        x0c = jnp.concatenate([x0c, jnp.zeros((pad,), jnp.int32)])
+        ya = jnp.concatenate([ya, jnp.zeros((pad,), jnp.int32)])
+
+    def kernel(x0_ref, ya_ref, img_ref, out_ref):
+        g = pl.program_id(0)
+        for j in range(G):
+            i = g * G + j
+            x0i = x0_ref[i]
+            yai = pl.multiple_of(ya_ref[i], 8)
+            xa = pl.multiple_of(
+                jnp.minimum((x0i // PL) * PL, Wp - 2 * PL), PL)
+            blk = img_ref[pl.ds(yai, PR), pl.ds(xa, 2 * PL)]
+            rolled = pltpu.roll(blk, shift=2 * PL - (x0i - xa), axis=1)
+            out_ref[j] = rolled[:, :PL]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Np // G,),
+        in_specs=[pl.BlockSpec((Hp, Wp), lambda g, xr, yr: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, PR, PL), lambda g, xr, yr: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    patches = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, PR, PL), img.dtype),
+        grid_spec=grid_spec,
+    )(x0c, ya, img)
+    return patches[:N], local
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def extract_patches_any(img: jax.Array, pts: jax.Array, psize: int):
+    """Backend dispatch: Pallas kernel on TPU (image stays in VMEM, no
+    [N, P, W] slab), chained dynamic-slice slabs elsewhere (CPU tests)."""
+    if _use_pallas():
+        return _extract_patches_pallas(img, pts, psize)
+    return _extract_patches(img, pts, psize)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "max_correction"))
@@ -237,7 +330,7 @@ def anchor_refine_fast(
     margin = int(max_correction) + 2
     psize = win + 2 * margin
 
-    patches, local = _extract_patches(img, pts, psize)
+    patches, local = extract_patches_any(img, pts, psize)
 
     Gxx = jnp.sum(Tx * Tx, axis=1)
     Gxy = jnp.sum(Tx * Ty, axis=1)
@@ -246,8 +339,12 @@ def anchor_refine_fast(
     safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
     good_G = det > 1e-9
 
-    lo = jnp.asarray(win // 2, dtype)
-    hi = jnp.asarray(psize - win // 2 - 2, dtype)
+    # per-axis clamp bounds from the ACTUAL patch shape (the Pallas form
+    # returns [PR, 128] patches; the slab form [psize, psize])
+    r = win // 2
+    lo = jnp.asarray(r, dtype)
+    hi = jnp.asarray(
+        [patches.shape[-1] - r - 2, patches.shape[-2] - r - 2], dtype)
 
     def body(_, p):
         I = _sample_patch(patches, p, win).reshape(N, -1)
@@ -275,7 +372,7 @@ def extract_templates_fast(img: jax.Array, pts: jax.Array, win: int = 13):
     (win+2) window, central differences for the gradients."""
     N = pts.shape[0]
     psize = win + 6
-    patches, local = _extract_patches(img, pts, psize)
+    patches, local = extract_patches_any(img, pts, psize)
     big = _sample_patch(patches, local, win + 2)       # [N, win+2, win+2]
     T = big[:, 1:-1, 1:-1]
     Tx = 0.5 * (big[:, 1:-1, 2:] - big[:, 1:-1, :-2])

@@ -123,11 +123,11 @@ def orient_and_describe_fast(img_blur: jax.Array, xy: jax.Array,
     vmapped fancy-indexing path (TPU gathers are the bottleneck).
     Steered descriptors need per-keypoint rotated sampling and keep the
     gather path (`brief_descriptors`)."""
-    from uvipslam_tpu.ops.klt import _extract_patches, _sample_patch
+    from uvipslam_tpu.ops.klt import extract_patches_any, _sample_patch
 
     N = xy.shape[0]
     W = 2 * PATCH_R + 1
-    patches, local = _extract_patches(img_blur, xy, W + 4)
+    patches, local = extract_patches_any(img_blur, xy, W + 4)
     win = _sample_patch(patches, local, W)            # [N, 31, 31]
     flat = win.reshape(N, W * W)
 

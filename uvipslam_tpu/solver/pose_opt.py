@@ -83,7 +83,10 @@ def pose_optimization_se3(
     delta_scale = (16.0, 4.0, 1.0, 1.0)
     x = (Rcw0, tcw0)
     for rnd in range(rounds):
-        d2 = HUBER2_MONO * delta_scale[min(rnd, len(delta_scale) - 1)]
+        # the final round ALWAYS tightens to the reference delta so a
+        # shortened schedule (rounds=2) still ends at the true kernel
+        d2 = HUBER2_MONO * (delta_scale[min(rnd, len(delta_scale) - 1)]
+                            if rnd < rounds - 1 else 1.0)
         x, _ = lm_solve(x, make_residual_fn(inlier, d2), retract, n_iters=iters)
         Rcw, tcw = x
         r, _, _ = factors.reproj_se3(Rcw, tcw, pts_w, uvs, fx, fy, cx, cy)
