@@ -340,25 +340,25 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
         )
 
         # seed A: the PnP consensus pose; seed B: the best candidate
-        # keyframe's own pose (recall comes from the projection search)
+        # keyframe's own pose (recall comes from the projection search).
+        # Both seeds refine through ONE vmapped solve instantiation (two
+        # separate calls double the compile footprint of this branch)
         ns_k = jax.tree_util.tree_map(lambda a: a[top_kfs[0]], st.map.kf_ns)
         Rk, tk = _ns_to_cam_pose(ns_k)
         use_pnp = n_pnp >= 6
         Ra = jnp.where(use_pnp, lie.normalize_rotation(R0), Rk)
         ta = jnp.where(use_pnp, t0, tk)
 
-        R1, t1, _, n1, tr1 = _pose_and_localmap_jit(
-            fresh, st.map, Ra, ta, cam.fx, cam.fy, cam.cx, cam.cy,
-            scale_sigmas)
-        R2, t2, _, n2, tr2 = _pose_and_localmap_jit(
-            fresh, st.map, Rk, tk, cam.fx, cam.fy, cam.cx, cam.cy,
-            scale_sigmas)
-        pick1 = n1 >= n2
-        Rb = jnp.where(pick1, R1, R2)
-        tb = jnp.where(pick1, t1, t2)
-        nb = jnp.maximum(n1, n2)
-        trb = jax.tree_util.tree_map(
-            lambda a, b_: jnp.where(pick1, a, b_), tr1, tr2)
+        Rb2, tb2, _, n2_, tr2_ = jax.vmap(
+            lambda R0_, t0_: _pose_and_localmap_jit(
+                fresh, st.map, R0_, t0_, cam.fx, cam.fy, cam.cx, cam.cy,
+                scale_sigmas)
+        )(jnp.stack([Ra, Rk]), jnp.stack([ta, tk]))
+        pick = jnp.argmax(n2_)          # ties -> seed A, as before
+        Rb = Rb2[pick]
+        tb = tb2[pick]
+        nb = n2_[pick]
+        trb = jax.tree_util.tree_map(lambda a: a[pick], tr2_)
 
         ok = nb >= max(cfg.min_tracked, 15)
 
