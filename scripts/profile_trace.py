@@ -41,6 +41,12 @@ def aggregate(trace_dir: str, top: int = 25):
 
 
 def main():
+    # self-locate the repo root: the axon TPU backend registers through
+    # PYTHONPATH=/root/.axon_site, so REPLACING PYTHONPATH breaks backend
+    # registration ('axon' missing from known backends); appending works,
+    # but self-location makes the script invocation-proof
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from uvipslam_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 

@@ -54,19 +54,8 @@ def _arc9_mask(bits: jax.Array) -> jax.Array:
     return (r9 & 0xFFFF) != 0
 
 
-def fast_response(img: jax.Array, threshold: float) -> jax.Array:
-    """Dense FAST-9 response map [H, W]: 0 where not a corner, else a
-    positive score for NMS/ranking.
-
-    Score: sum over circle points of |I_p - I_c| - t restricted to the
-    passing polarity (the SAD-style score standard in parallel FAST
-    implementations; equivalent ranking to OpenCV's for NMS purposes).
-    """
-    dtype = img.dtype
-    views = _shifted_views(img)              # [16, H, W]
-    diff = views - img[None]                 # neighbor - center
+def _fast_score_from_diff(diff, interior, threshold, dtype):
     t = jnp.asarray(threshold, dtype)
-
     bright = diff > t
     dark = diff < -t
 
@@ -80,13 +69,42 @@ def fast_response(img: jax.Array, threshold: float) -> jax.Array:
     bright_score = jnp.sum(jnp.where(bright, diff - t, 0.0), axis=0)
     dark_score = jnp.sum(jnp.where(dark, -diff - t, 0.0), axis=0)
     score = jnp.where(is_bright, bright_score, 0.0) + jnp.where(is_dark, dark_score, 0.0)
+    return jnp.where(interior, score, 0.0).astype(dtype)
 
+
+def _interior_mask(H, W):
     # exclude a 3px border (circle support) like the reference's edge margin
-    H, W = img.shape
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
-    interior = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
-    return jnp.where(interior, score, 0.0).astype(dtype)
+    return (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+
+
+def fast_response(img: jax.Array, threshold: float) -> jax.Array:
+    """Dense FAST-9 response map [H, W]: 0 where not a corner, else a
+    positive score for NMS/ranking.
+
+    Score: sum over circle points of |I_p - I_c| - t restricted to the
+    passing polarity (the SAD-style score standard in parallel FAST
+    implementations; equivalent ranking to OpenCV's for NMS purposes).
+    """
+    dtype = img.dtype
+    views = _shifted_views(img)              # [16, H, W]
+    diff = views - img[None]                 # neighbor - center
+    H, W = img.shape
+    return _fast_score_from_diff(diff, _interior_mask(H, W), threshold, dtype)
+
+
+def fast_response2(img: jax.Array, t_hi: float, t_lo: float):
+    """Both threshold response maps from ONE set of shifted views/diffs
+    (the extractor always evaluates the 20/5 pair; the ring gather +
+    differencing is the expensive half of the dense test)."""
+    dtype = img.dtype
+    views = _shifted_views(img)
+    diff = views - img[None]
+    H, W = img.shape
+    interior = _interior_mask(H, W)
+    return (_fast_score_from_diff(diff, interior, t_hi, dtype),
+            _fast_score_from_diff(diff, interior, t_lo, dtype))
 
 
 def harris_response(img: jax.Array, block: int = 7, k: float = 0.04) -> jax.Array:

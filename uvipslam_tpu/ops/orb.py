@@ -247,8 +247,7 @@ def extract_orb(
         if quota <= 0:
             continue
         s = scale**l
-        hi = fast_ops.fast_response(im_l, fast_threshold)
-        lo = fast_ops.fast_response(im_l, fast_threshold_min)
+        hi, lo = fast_ops.fast_response2(im_l, fast_threshold, fast_threshold_min)
         # low-threshold map used only as epsilon-scaled fallback so any
         # high-threshold corner in a cell always outranks it
         resp = hi + 1e-4 * lo

@@ -56,8 +56,8 @@ def _dlt_pnp_core(pts_w: jax.Array, xn: jax.Array):
     r1 = jnp.stack([X, Y, Z, one, zr, zr, zr, zr, -u * X, -u * Y, -u * Z, -u], -1)
     r2 = jnp.stack([zr, zr, zr, zr, X, Y, Z, one, -v * X, -v * Y, -v * Z, -v], -1)
     A = jnp.concatenate([r1, r2], axis=-2)  # [B, 2n, 12]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    p = vt[..., -1, :].reshape(B, 3, 4)
+    from uvipslam_tpu.ops.twoview import _solve_dlt
+    p = _solve_dlt(A).reshape(B, 3, 4)
 
     # fix sign: points must have positive depth (check centroid)
     c = jnp.mean(pts_w, axis=-2)
@@ -120,8 +120,8 @@ def pnp_ransac(
         r1 = jnp.stack([X, Y, Z, one, zr, zr, zr, zr, -u * X, -u * Y, -u * Z, -u], -1) * w[:, None]
         r2 = jnp.stack([zr, zr, zr, zr, X, Y, Z, one, -v * X, -v * Y, -v * Z, -v], -1) * w[:, None]
         A = jnp.concatenate([r1, r2], axis=0)
-        _, _, vt = jnp.linalg.svd(A[None], full_matrices=True)
-        p = vt[0, -1, :].reshape(3, 4)
+        from uvipslam_tpu.ops.twoview import _solve_dlt
+        p = _solve_dlt(A[None])[0].reshape(3, 4)
         cn = jnp.sum(pts_n * w[:, None], 0) / wsum
         zc = p[2, :3] @ cn + p[2, 3]
         p = p * jnp.where(zc < 0, -1.0, 1.0)

@@ -66,9 +66,23 @@ def _sample_minimal(key, n_iters: int, k: int, valid: jax.Array) -> jax.Array:
 
 
 def _solve_dlt(A: jax.Array) -> jax.Array:
-    """Null vector of each [B, m, 9] system via batched SVD."""
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    return vt[..., -1, :]
+    """Null vector of each [B, m, n] system (batched-matmul inverse power
+    iteration + Newton polish — `jnp.linalg.svd` lowers to a serial TPU
+    custom call that was the hottest per-frame op of the tracker)."""
+    from uvipslam_tpu.solver.gn import nullvec_ls
+
+    return nullvec_ls(A)
+
+
+def _project_rank2(F: jax.Array) -> jax.Array:
+    """Rank-2 projection without SVD: deflate the smallest right singular
+    direction, F2 = F - (F v3) v3^T where v3 = argmin_v |F v|.
+    Exactly U diag(s1, s2, 0) V^T."""
+    from uvipslam_tpu.solver.gn import nullvec_ls
+
+    v3 = nullvec_ls(F)
+    Fv = jnp.einsum("...ij,...j->...i", F, v3, precision=_HI)
+    return F - Fv[..., :, None] * v3[..., None, :]
 
 
 def fundamental_from_8pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
@@ -82,9 +96,7 @@ def fundamental_from_8pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
     )  # [B, 8, 9]
     f = _solve_dlt(A)
     F = f.reshape(f.shape[:-1] + (3, 3))
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    return mm(U * S[..., None, :], Vt)
+    return _project_rank2(F)
 
 
 def homography_from_4pt(xa: jax.Array, xb: jax.Array) -> jax.Array:
@@ -176,9 +188,7 @@ def find_fundamental(
         axis=-1,
     ) * w
     f = _solve_dlt(A[None])[0]
-    Fr = f.reshape(3, 3)
-    U, S, Vt = jnp.linalg.svd(Fr)
-    Fr = mm(U * S.at[2].set(0.0)[None, :], Vt)
+    Fr = _project_rank2(f.reshape(3, 3))
     Fr_full = mm(Tb.T, mm(Fr, Ta))
     d_a2, d_b2 = _epipolar_errors(Fr_full[None], xa, xb)
     score2, inlier2 = _ransac_score(d_a2, d_b2, valid, TH_F, sigma * sigma)

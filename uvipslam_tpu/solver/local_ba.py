@@ -400,14 +400,6 @@ def local_ba_navstate(
 
         return (Hcc, gc, Hpp, gp, W), total
 
-    def cost_only(state, obs_inlier, robust):
-        kf, pts = state
-        chi2 = _reproj_chi2(kf, pts)
-        total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
-        (_, _, _, _, chi2p, _), (_, _, _, chi2b, _), (_, _, chi2d, wd), \
-            (_, _, _, _, chi2dp, _, dp_mask) = _edge_terms(kf, robust)
-        return total + _edge_cost(chi2p, chi2b, chi2d, chi2dp, dp_mask, wd)
-
     def retract(state, dc, dp):
         kf, pts = state
         d = dc.reshape(K, 15)
@@ -416,20 +408,25 @@ def local_ba_navstate(
         return (kf2, pts2)
 
     def lm_rounds(state, obs_inlier, robust, iters):
+        # one normal-equation build per iteration: the accepted step's
+        # equations are carried; rejected steps re-solve the carried
+        # system at higher damping (see gn.lm_solve)
         def body(carry, _):
-            st, lam, chi2 = carry
-            (Hcc, gc, Hpp, gp, W), _ = build(st, obs_inlier, robust)
-            dc, dp = _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free)
+            st, eqs, lam, chi2 = carry
+            dc, dp = _schur_step(*eqs, lam, pt_free)
             st_new = retract(st, dc, dp)
-            chi2_new = cost_only(st_new, obs_inlier, robust)
+            eqs_new, chi2_new = build(st_new, obs_inlier, robust)
             accept = chi2_new < chi2
-            st_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
+            sel = lambda a, b: jnp.where(accept, b, a)
+            st_out = jax.tree_util.tree_map(sel, st, st_new)
+            eqs_out = jax.tree_util.tree_map(sel, eqs, eqs_new)
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
-            return (st_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
+            return (st_out, eqs_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        chi2_0 = cost_only(state, obs_inlier, robust)
-        (st, _, _), _ = jax.lax.scan(
-            body, (state, jnp.asarray(1e-4, dtype), chi2_0), None, length=iters
+        eqs0, chi2_0 = build(state, obs_inlier, robust)
+        (st, _, _, _), _ = jax.lax.scan(
+            body, (state, eqs0, jnp.asarray(1e-4, dtype), chi2_0), None,
+            length=iters,
         )
         return st
 
@@ -518,14 +515,6 @@ def local_ba_se3(
         total = jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
         return (Hcc, gc, Hpp, gp, W), total
 
-    def cost_only(state, obs_inlier, robust):
-        (R, t, pts) = state
-        r, _, _ = factors.reproj_se3(
-            R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, fx, fy, cx, cy
-        )
-        chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
-        return jnp.sum(jnp.where(obs_inlier, huber_cost(chi2, HUBER2_MONO), 0.0))
-
     def retract(state, dc, dp):
         (R, t, pts) = state
         d = dc.reshape(K, 6)
@@ -533,20 +522,24 @@ def local_ba_se3(
         return (lie.normalize_rotation(mm(dR, R)), mv(dR, t) + dt, pts + dp)
 
     def lm_rounds(state, obs_inlier, robust, iters):
+        # carried normal equations, one build per iteration (see
+        # local_ba_navstate.lm_rounds / gn.lm_solve)
         def body(carry, _):
-            st, lam, chi2 = carry
-            (Hcc, gc, Hpp, gp, W), _ = build(st, obs_inlier, robust)
-            dc, dp = _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free)
+            st, eqs, lam, chi2 = carry
+            dc, dp = _schur_step(*eqs, lam, pt_free)
             st_new = retract(st, dc, dp)
-            chi2_new = cost_only(st_new, obs_inlier, robust)
+            eqs_new, chi2_new = build(st_new, obs_inlier, robust)
             accept = chi2_new < chi2
-            st_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
+            sel = lambda a, b: jnp.where(accept, b, a)
+            st_out = jax.tree_util.tree_map(sel, st, st_new)
+            eqs_out = jax.tree_util.tree_map(sel, eqs, eqs_new)
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
-            return (st_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
+            return (st_out, eqs_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        chi2_0 = cost_only(state, obs_inlier, robust)
-        (st, _, _), _ = jax.lax.scan(
-            body, (state, jnp.asarray(1e-4, dtype), chi2_0), None, length=iters
+        eqs0, chi2_0 = build(state, obs_inlier, robust)
+        (st, _, _, _), _ = jax.lax.scan(
+            body, (state, eqs0, jnp.asarray(1e-4, dtype), chi2_0), None,
+            length=iters,
         )
         return st
 
