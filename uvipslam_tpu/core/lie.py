@@ -33,13 +33,29 @@ _EPS2 = 1e-12
 _HI = jax.lax.Precision.HIGHEST
 
 
+_SMALL_MM = 12
+
+
 def mm(a: "jax.Array", b: "jax.Array") -> "jax.Array":
-    """Small-matrix matmul at full precision (TPU-safe for geometry)."""
+    """Small-matrix matmul at full precision (TPU-safe for geometry).
+
+    For tiny static shapes (all dims <= 12) the product is expanded as a
+    broadcast multiply + sum on the VPU: exact f32 FMA arithmetic, and —
+    unlike `matmul` at Precision.HIGHEST, which burns SIX MXU passes per
+    badly-padded tiny matrix — it fuses into the surrounding elementwise
+    work (measured ~1.5 ms/BA-call of MXU time on the [6400, 2, 3] x
+    [6400, 3, 6] Jacobian compositions alone)."""
+    if (a.shape[-1] <= _SMALL_MM and a.shape[-2] <= _SMALL_MM
+            and b.shape[-1] <= _SMALL_MM):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
     return jnp.matmul(a, b, precision=_HI)
 
 
 def mv(a: "jax.Array", x: "jax.Array") -> "jax.Array":
-    """Matrix-vector product [..., i, j] @ [..., j] at full precision."""
+    """Matrix-vector product [..., i, j] @ [..., j] at full precision
+    (VPU broadcast-sum for tiny shapes, see `mm`)."""
+    if a.shape[-1] <= _SMALL_MM and a.shape[-2] <= _SMALL_MM:
+        return jnp.sum(a * x[..., None, :], axis=-1)
     return jnp.einsum("...ij,...j->...i", a, x, precision=_HI)
 
 

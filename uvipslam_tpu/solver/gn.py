@@ -24,6 +24,14 @@ def huber_weight(chi2: jax.Array, delta2: float) -> jax.Array:
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / safe))
 
 
+def robust_weight(chi2: jax.Array, delta2: float, robust) -> jax.Array:
+    """Huber IRLS weight, identity when `robust` (traced 0/1) is 0 — a
+    traced flag instead of a Python bool lets solver rounds compile as
+    ONE lax.scan body rather than `rounds` unrolled copies."""
+    return jnp.where(robust > 0, huber_weight(chi2, delta2),
+                     jnp.ones_like(chi2))
+
+
 def huber_cost(chi2: jax.Array, delta2: float) -> jax.Array:
     """The actual Huber objective rho(chi2): chi2 inside the kernel,
     2*delta*sqrt(chi2) - delta^2 outside.

@@ -33,9 +33,15 @@ from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.solver import factors
-from uvipslam_tpu.solver.gn import inv_spd_scaled, huber_cost, huber_weight, solve_spd
+from uvipslam_tpu.solver.gn import (
+    inv_spd_scaled, huber_cost, huber_weight, robust_weight as _rw,
+    solve_spd)
 
 _HI = jax.lax.Precision.HIGHEST
+# 3-pass bf16 (~f32-equivalent mantissa coverage of already-f32 inputs)
+# for the LARGE grouping GEMMs: half the MXU passes of HIGHEST at ~2e-5
+# relative error — far below what Hessian assembly needs
+_HIGH = jax.lax.Precision.HIGH
 CHI2_MONO = 5.991
 HUBER2_MONO = 5.991
 HUBER2_PVR = 21.666
@@ -63,11 +69,14 @@ def _schur_step(Hcc, gc, Hpp, gp, W, lam, pt_free):
     Hpp_inv = lie.inv3x3(Hpp_d)
     Hpp_inv = jnp.where(pt_free[:, None, None], Hpp_inv, 0.0)
 
-    Y = jnp.einsum("pcj,pjk->pck", W, Hpp_inv, precision=_HI)   # [P, C, 3]
-    S = Hcc_d - jnp.einsum("pck,pdk->cd", Y, W, precision=_HI)
-    rhs = gc - jnp.einsum("pck,pk->c", Y, gp, precision=_HI)
+    # contraction dim 3: VPU broadcast-sum (exact f32 FMA, no MXU passes)
+    Y = jnp.sum(W[..., :, :, None] * Hpp_inv[..., None, :, :], axis=-2)
+    # true GEMMs (contract over p [, k]): 3-pass HIGH precision
+    S = Hcc_d - jnp.einsum("pck,pdk->cd", Y, W, precision=_HIGH)
+    rhs = gc - jnp.einsum("pck,pk->c", Y, gp, precision=_HIGH)
     dc = solve_spd(S, -rhs)
-    dp = -jnp.einsum("pjk,pj->pk", Hpp_inv, gp + jnp.einsum("pcj,c->pj", W, dc, precision=_HI), precision=_HI)
+    Wdc = jnp.sum(W * dc[None, :, None], axis=-2)               # [P, 3]
+    dp = -jnp.sum(Hpp_inv * (gp + Wdc)[..., None, :], axis=-1)
     # note: W^T dc term: W [P, C, 3] -> contribution [P, 3]
     return dc, dp
 
@@ -142,32 +151,34 @@ def _assemble_reproj(J_pose, J_pt, r, w, obs_kf, obs_pt, K: int, P: int,
         gk = jnp.einsum("kfmi,kfm->ki", JW, r, precision=_HI)
         if oh is None:
             oh = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)  # [K,F,P]
-        Hpb = jnp.einsum("kfmi,kfmj->kfij", JptW, J_pt, precision=_HI)
-        gpb = jnp.einsum("kfmi,kfm->kfi", JptW, r, precision=_HI)
-        Wb = jnp.einsum("kfmi,kfmj->kfij", JW, J_pt, precision=_HI)
+        # contraction dim m=2: VPU broadcast-sum outer products (a 6-pass
+        # HIGHEST matmul with contraction 2 wastes the whole MXU pipeline)
+        Hpb = jnp.sum(JptW[..., :, :, None] * J_pt[..., :, None, :], axis=-3)
+        gpb = jnp.sum(JptW * r[..., None], axis=-2)
+        Wb = jnp.sum(JW[..., :, :, None] * J_pt[..., :, None, :], axis=-3)
         # single grouping GEMM: the one-hot is the bandwidth cost, so read
         # it ONCE — concatenate all per-observation blocks along a value
         # axis and split the [P, K, .] result
         vals = jnp.concatenate(
             [Hpb.reshape(K_, F_, 9), gpb, Wb.reshape(K_, F_, D * 3)], -1)
-        out = jnp.einsum("kfp,kfc->pkc", oh, vals, precision=_HI)
+        out = jnp.einsum("kfp,kfc->pkc", oh, vals, precision=_HIGH)
         Hpp = out[..., :9].sum(1).reshape(P, 3, 3)
         gp = out[..., 9:12].sum(1)
         Wp = out[..., 12:].reshape(P, K_, D, 3)
     else:
         oh_k = (obs_kf[:, None] == jnp.arange(K)).astype(dtype)      # [O,K]
         oh_p = (obs_pt[:, None] == jnp.arange(P)).astype(dtype)      # [O,P]
-        Hb = jnp.einsum("omi,omj->oij", JW, J_pose, precision=_HI)
-        gb = jnp.einsum("omi,om->oi", JW, r, precision=_HI)
-        Hpb = jnp.einsum("omi,omj->oij", JptW, J_pt, precision=_HI)
-        gpb = jnp.einsum("omi,om->oi", JptW, r, precision=_HI)
-        Wb = jnp.einsum("omi,omj->oij", JW, J_pt, precision=_HI)
-        Hk = jnp.einsum("ok,oij->kij", oh_k, Hb, precision=_HI)
-        gk = jnp.einsum("ok,oi->ki", oh_k, gb, precision=_HI)
-        Hpp = jnp.einsum("op,oij->pij", oh_p, Hpb, precision=_HI)
-        gp = jnp.einsum("op,oi->pi", oh_p, gpb, precision=_HI)
+        Hb = jnp.sum(JW[..., :, :, None] * J_pose[..., :, None, :], axis=-3)
+        gb = jnp.sum(JW * r[..., None], axis=-2)
+        Hpb = jnp.sum(JptW[..., :, :, None] * J_pt[..., :, None, :], axis=-3)
+        gpb = jnp.sum(JptW * r[..., None], axis=-2)
+        Wb = jnp.sum(JW[..., :, :, None] * J_pt[..., :, None, :], axis=-3)
+        Hk = jnp.einsum("ok,oij->kij", oh_k, Hb, precision=_HIGH)
+        gk = jnp.einsum("ok,oi->ki", oh_k, gb, precision=_HIGH)
+        Hpp = jnp.einsum("op,oij->pij", oh_p, Hpb, precision=_HIGH)
+        gp = jnp.einsum("op,oi->pi", oh_p, gpb, precision=_HIGH)
         Wk = jnp.einsum("ok,oij->okij", oh_k, Wb)
-        Wp = jnp.einsum("op,okij->pkij", oh_p, Wk, precision=_HI)
+        Wp = jnp.einsum("op,okij->pkij", oh_p, Wk, precision=_HIGH)
     return Hk, gk, Hpp, gp, Wp
 
 
@@ -261,14 +272,14 @@ def local_ba_navstate(
             pre.J_V_bg, pre.J_V_ba, pre.J_R_bg, dT, gravity,
         )
         chi2p = jnp.einsum("ei,eij,ej->e", rp, info_pvr, rp, precision=_HI)
-        wp = huber_weight(chi2p, HUBER2_PVR) if robust else jnp.ones_like(chi2p)
+        wp = _rw(chi2p, HUBER2_PVR, robust)
         wp = wp * pre_mask.astype(dtype)
 
         rb, J_bi, J_bj = factors.bias_walk(
             nsi.dbg, nsi.dba, nsj.dbg, nsj.dba, nsi.bg, nsi.ba, nsj.bg, nsj.ba
         )
         chi2b = jnp.sum(rb * rb * rw_diag, axis=-1)
-        wb = (huber_weight(chi2b, HUBER2_BIAS) if robust else jnp.ones_like(chi2b))
+        wb = _rw(chi2b, HUBER2_BIAS, robust)
         wb = wb * pre_mask.astype(dtype)
 
         # depth-projected ternary edges along the preint pairs — the
@@ -285,8 +296,7 @@ def local_ba_navstate(
         dp_info = depth_info[pre_j]
         dp_mask = pre_mask & (dp_info > 0)
         chi2dp = rdp[:, 0] ** 2 * dp_info
-        wdp = (huber_weight(chi2dp, HUBER2_DEPTH) if robust
-               else jnp.ones_like(chi2dp))
+        wdp = _rw(chi2dp, HUBER2_DEPTH, robust)
         wdp = wdp * dp_info * dp_mask.astype(dtype)
 
         # unary z prior only as a fallback for KFs not constrained by any
@@ -294,7 +304,7 @@ def local_ba_navstate(
         covered = jnp.zeros((kf.p.shape[0],), bool).at[pre_j].max(dp_mask)
         rd, Jd = factors.depth_prior(kf.p, depth_meas)       # [K, 1], [K, 1, 9]
         chi2d = rd[:, 0] ** 2 * depth_info
-        wd = (huber_weight(chi2d, HUBER2_DEPTH) if robust else jnp.ones_like(chi2d))
+        wd = _rw(chi2d, HUBER2_DEPTH, robust)
         wd = wd * depth_info * (free_kf & ~covered).astype(dtype)
         return ((rp, J_i, J_j, J_b, chi2p, wp),
                 (rb, J_bi, J_bj, chi2b, wb),
@@ -316,7 +326,7 @@ def local_ba_navstate(
         )
         return jnp.sum(r * r, -1) * obs_inv_sigma2
 
-    def build(state, obs_inlier, robust):
+    def build(state, obs_inlier, robust, pt_free):
         kf, pts = state
 
         # ---- reprojection edges (scatter-free assembly) ----
@@ -324,7 +334,7 @@ def local_ba_navstate(
             kf, pts, obs_kf, obs_pt, obs_uv, None, Rcb, tcb, fx, fy, cx, cy
         )
         chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
-        wo = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
+        wo = _rw(chi2, HUBER2_MONO, robust)
         wo = wo * obs_inv_sigma2 * obs_inlier.astype(dtype)
         J_pvr = J_pvr * free_kf[obs_kf].astype(dtype)[..., None, None]
         J_pt = J_pt * pt_free[obs_pt].astype(dtype)[..., None, None]
@@ -407,7 +417,7 @@ def local_ba_navstate(
         pts2 = pts + dp
         return (kf2, pts2)
 
-    def lm_rounds(state, obs_inlier, robust, iters):
+    def lm_rounds(state, obs_inlier, robust, iters, pt_free):
         # one normal-equation build per iteration: the accepted step's
         # equations are carried; rejected steps re-solve the carried
         # system at higher damping (see gn.lm_solve)
@@ -415,7 +425,7 @@ def local_ba_navstate(
             st, eqs, lam, chi2 = carry
             dc, dp = _schur_step(*eqs, lam, pt_free)
             st_new = retract(st, dc, dp)
-            eqs_new, chi2_new = build(st_new, obs_inlier, robust)
+            eqs_new, chi2_new = build(st_new, obs_inlier, robust, pt_free)
             accept = chi2_new < chi2
             sel = lambda a, b: jnp.where(accept, b, a)
             st_out = jax.tree_util.tree_map(sel, st, st_new)
@@ -423,31 +433,36 @@ def local_ba_navstate(
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
             return (st_out, eqs_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        eqs0, chi2_0 = build(state, obs_inlier, robust)
+        eqs0, chi2_0 = build(state, obs_inlier, robust, pt_free)
         (st, _, _, _), _ = jax.lax.scan(
             body, (state, eqs0, jnp.asarray(1e-4, dtype), chi2_0), None,
             length=iters,
         )
         return st
 
-    state = (kf_ns, pts_w)
-    for rnd in range(rounds):
-        robust = rnd < rounds - 1
+    # rounds as a lax.scan over the robust flag: one compiled copy of the
+    # LM machinery instead of `rounds` unrolled copies (compile time)
+    def round_body(carry, robust):
+        state, obs_in = carry
         # a landmark moves only with >= 2 live observations — with one, its
         # 3x3 Hessian block is singular along the viewing ray and the Schur
         # inverse would inject garbage (g2o avoids this because such points
         # never enter the reference's BA graphs)
         n_obs = jnp.zeros((P,), jnp.int32).at[obs_pt].add(obs_in.astype(jnp.int32))
         pt_free = pt_valid & (n_obs >= 2)
-        state = lm_rounds(state, obs_in, robust, n_iters)
+        state = lm_rounds(state, obs_in, robust, n_iters, pt_free)
         # re-gate observations by chi2 + positive depth
         kf, pts = state
         chi2 = _reproj_chi2(kf, pts)
         Rbw = jnp.swapaxes(kf.R[obs_kf], -1, -2)
         pc_z = (mv(Rcb, mv(Rbw, pts[obs_pt] - kf.p[obs_kf])) + tcb)[..., 2]
         obs_in = obs_mask & (chi2 <= CHI2_MONO) & (pc_z > 0)
+        return (state, obs_in), None
 
-    kf, pts = state
+    robust_sched = jnp.asarray(
+        [1.0 if r < rounds - 1 else 0.0 for r in range(rounds)], dtype)
+    ((kf, pts), obs_in), _ = jax.lax.scan(
+        round_body, ((kf_ns, pts_w), obs_in), robust_sched)
     pts_out = pts_full.at[ids_c].set(
         jnp.where(act_ok[:, None], pts, pts_full[ids_c]))
     return kf, pts_out, obs_in
@@ -492,13 +507,13 @@ def local_ba_se3(
     if obs_pt.ndim == 2:
         oh_grid = (obs_pt[..., None] == jnp.arange(P)).astype(dtype)
 
-    def build(state, obs_inlier, robust):
+    def build(state, obs_inlier, robust, pt_free):
         (R, t, pts) = state
         r, J_pose, J_pt = factors.reproj_se3(
             R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, fx, fy, cx, cy
         )
         chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
-        wo = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
+        wo = _rw(chi2, HUBER2_MONO, robust)
         wo = wo * obs_inv_sigma2 * obs_inlier.astype(dtype)
         J_pose = J_pose * free_kf[obs_kf].astype(dtype)[..., None, None]
         J_pt = J_pt * pt_free[obs_pt].astype(dtype)[..., None, None]
@@ -521,14 +536,14 @@ def local_ba_se3(
         dR, dt = lie.se3_exp(d)
         return (lie.normalize_rotation(mm(dR, R)), mv(dR, t) + dt, pts + dp)
 
-    def lm_rounds(state, obs_inlier, robust, iters):
+    def lm_rounds(state, obs_inlier, robust, iters, pt_free):
         # carried normal equations, one build per iteration (see
         # local_ba_navstate.lm_rounds / gn.lm_solve)
         def body(carry, _):
             st, eqs, lam, chi2 = carry
             dc, dp = _schur_step(*eqs, lam, pt_free)
             st_new = retract(st, dc, dp)
-            eqs_new, chi2_new = build(st_new, obs_inlier, robust)
+            eqs_new, chi2_new = build(st_new, obs_inlier, robust, pt_free)
             accept = chi2_new < chi2
             sel = lambda a, b: jnp.where(accept, b, a)
             st_out = jax.tree_util.tree_map(sel, st, st_new)
@@ -536,26 +551,29 @@ def local_ba_se3(
             lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
             return (st_out, eqs_out, lam_out, jnp.where(accept, chi2_new, chi2)), None
 
-        eqs0, chi2_0 = build(state, obs_inlier, robust)
+        eqs0, chi2_0 = build(state, obs_inlier, robust, pt_free)
         (st, _, _, _), _ = jax.lax.scan(
             body, (state, eqs0, jnp.asarray(1e-4, dtype), chi2_0), None,
             length=iters,
         )
         return st
 
-    state = (kf_R, kf_t, pts_w)
-    for rnd in range(rounds):
-        robust = rnd < rounds - 1
+    def round_body(carry, robust):
+        state, obs_in = carry
         n_obs = jnp.zeros((P,), jnp.int32).at[obs_pt].add(obs_in.astype(jnp.int32))
         pt_free = pt_valid & (n_obs >= 2)  # see local_ba_navstate note
-        state = lm_rounds(state, obs_in, robust, n_iters)
+        state = lm_rounds(state, obs_in, robust, n_iters, pt_free)
         R, t, pts = state
         r, _, _ = factors.reproj_se3(R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(r * r, -1) * obs_inv_sigma2
         pc_z = (mv(R[obs_kf], pts[obs_pt]) + t[obs_kf])[..., 2]
         obs_in = obs_mask & (chi2 <= CHI2_MONO) & (pc_z > 0)
+        return (state, obs_in), None
 
-    R, t, pts = state
+    robust_sched = jnp.asarray(
+        [1.0 if r < rounds - 1 else 0.0 for r in range(rounds)], dtype)
+    ((R, t, pts), obs_in), _ = jax.lax.scan(
+        round_body, ((kf_R, kf_t, pts_w), obs_in), robust_sched)
     # scatter the optimized active points back into the full table
     pts_out = pts_full.at[ids_c].set(
         jnp.where(act_ok[:, None], pts, pts_full[ids_c]))

@@ -21,7 +21,9 @@ from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.core.state import NavState
 from uvipslam_tpu.solver import factors
-from uvipslam_tpu.solver.gn import inv_spd_scaled, accumulate_normal_eqs, huber_cost, huber_weight, lm_solve, solve_spd
+from uvipslam_tpu.solver.gn import (
+    inv_spd_scaled, accumulate_normal_eqs, huber_cost, huber_weight,
+    lm_solve, robust_weight as _rw, solve_spd)
 
 _HI = jax.lax.Precision.HIGHEST
 CHI2_MONO = 5.991
@@ -80,22 +82,35 @@ def pose_optimization_se3(
     # surface and later rounds tighten to the reference's delta. Gating
     # between rounds uses a loose 4x chi2 so saturated-but-consistent
     # edges survive until the pose is close; only the final gate is strict.
+    # The final round ALWAYS tightens to the reference delta so a shortened
+    # schedule (rounds=2) still ends at the true kernel.
     delta_scale = (16.0, 4.0, 1.0, 1.0)
-    x = (Rcw0, tcw0)
-    for rnd in range(rounds):
-        # the final round ALWAYS tightens to the reference delta so a
-        # shortened schedule (rounds=2) still ends at the true kernel
-        d2 = HUBER2_MONO * (delta_scale[min(rnd, len(delta_scale) - 1)]
-                            if rnd < rounds - 1 else 1.0)
+    d2s = jnp.asarray(
+        [HUBER2_MONO * (delta_scale[min(r, len(delta_scale) - 1)]
+                        if r < rounds - 1 else 1.0) for r in range(rounds)],
+        dtype)
+    gates = jnp.asarray(
+        [CHI2_MONO if r == rounds - 1 else 4.0 * CHI2_MONO
+         for r in range(rounds)], dtype)
+
+    # rounds as a lax.scan over (delta2, gate): ONE copy of the LM body in
+    # the compiled module instead of `rounds` unrolled copies (the per-
+    # frame solvers are instantiated many times across the tracker's
+    # branches — module size is compile time)
+    def round_body(carry, xs):
+        x, inlier = carry
+        d2, gate = xs
         x, _ = lm_solve(x, make_residual_fn(inlier, d2), retract, n_iters=iters)
         Rcw, tcw = x
         r, _, _ = factors.reproj_se3(Rcw, tcw, pts_w, uvs, fx, fy, cx, cy)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         # positive depth requirement as in the reference's isDepthPositive
         pc_z = (mv(Rcw, pts_w) + tcw)[..., 2]
-        gate = CHI2_MONO if rnd == rounds - 1 else 4.0 * CHI2_MONO
         inlier = valid & (chi2 <= gate) & (pc_z > 0)
+        return (x, inlier), None
 
+    (x, inlier), _ = jax.lax.scan(
+        round_body, ((Rcw0, tcw0), inlier), (d2s, gates))
     return x[0], x[1], inlier, jnp.sum(inlier)
 
 
@@ -168,7 +183,7 @@ def pose_optimization_vi(
                 ns.p, ns.R, pts_w, uvs, Rcb, tcb, fx, fy, cx, cy
             )
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-            w = huber_weight(chi2, HUBER2_MONO) if robust else jnp.ones_like(chi2)
+            w = _rw(chi2, HUBER2_MONO, robust)
             w = w * inv_sigma2 * inlier_mask.astype(dtype)
             Hv, gv = accumulate_normal_eqs(Jp, r, w)
             H = H.at[:9, :9].add(Hv)
@@ -188,7 +203,7 @@ def pose_optimization_vi(
                 preint.J_R_bg, dTij, gravity,
             )
             chi2_p = rp @ info_pvr @ rp
-            wp = huber_weight(chi2_p, HUBER2_PVR) if robust else jnp.asarray(1.0, dtype)
+            wp = _rw(chi2_p, HUBER2_PVR, robust)
             Jfull = jnp.concatenate([J_j, jnp.zeros((9, 6), dtype)], axis=-1)  # [9, 15]
             JW = (Jfull.T * wp) @ info_pvr
             H = H + JW @ Jfull
@@ -201,7 +216,7 @@ def pose_optimization_vi(
                 ns_ref.bg, ns_ref.ba, ns.bg, ns.ba,
             )
             chi2_b = rb @ info_bias @ rb
-            wb = huber_weight(chi2_b, HUBER2_BIAS) if robust else jnp.asarray(1.0, dtype)
+            wb = _rw(chi2_b, HUBER2_BIAS, robust)
             Jb_full = jnp.zeros((6, 15), dtype).at[:, 9:15].set(J_bj)
             JWb = (Jb_full.T * wb) @ info_bias
             H = H + JWb @ Jb_full
@@ -215,7 +230,7 @@ def pose_optimization_vi(
                     prior_ns.p, prior_ns.v, prior_ns.R, prior_ns.dbg, prior_ns.dba,
                 )
                 chi2_pr = rpr @ prior_info @ rpr
-                wpr = huber_weight(chi2_pr, HUBER2_PRIOR) if robust else jnp.asarray(1.0, dtype)
+                wpr = _rw(chi2_pr, HUBER2_PRIOR, robust)
                 Jpr = jnp.concatenate([J_pvr, J_bias], axis=-1)  # [15, 15]
                 JWpr = (Jpr.T * wpr) @ prior_info
                 H = H + JWpr @ Jpr
@@ -226,7 +241,7 @@ def pose_optimization_vi(
             if use_depth:
                 rd, Jd = factors.depth_prior(ns.p, depth_meas)
                 chi2_d = (rd[0] ** 2) * depth_info
-                wd = huber_weight(chi2_d, HUBER2_DEPTH) if robust else jnp.asarray(1.0, dtype)
+                wd = _rw(chi2_d, HUBER2_DEPTH, robust)
                 Jd_full = jnp.zeros((1, 15), dtype).at[:, :9].set(Jd)
                 H = H + (Jd_full.T * (wd * depth_info)) @ Jd_full
                 g = g + (Jd_full.T * (wd * depth_info) @ rd)
@@ -240,9 +255,8 @@ def pose_optimization_vi(
         ns = ns.inc_small_pvr(dx[0:9]).inc_small_bias(dx[9:15])
         return pack(ns)
 
-    x = pack(ns0)
-    for rnd in range(rounds):
-        robust = rnd < rounds - 1
+    def round_body(carry, robust):
+        x, inlier = carry
         x, _ = lm_solve(x, residual_fn_builder(inlier, robust), retract, n_iters=iters)
         ns = unpack(x)
         r, _, _ = factors.reproj_navstate(ns.p, ns.R, pts_w, uvs, Rcb, tcb, fx, fy, cx, cy)
@@ -250,9 +264,14 @@ def pose_optimization_vi(
         Rbw = jnp.swapaxes(ns.R, -1, -2)
         pc_z = (mv(Rcb, mv(Rbw, pts_w - ns.p)) + tcb)[..., 2]
         inlier = valid & (chi2 <= CHI2_MONO) & (pc_z > 0)
+        return (x, inlier), None
+
+    robust_sched = jnp.asarray(
+        [1.0 if r < rounds - 1 else 0.0 for r in range(rounds)], dtype)
+    (x, inlier), _ = jax.lax.scan(round_body, (pack(ns0), inlier), robust_sched)
 
     ns_out = unpack(x)
-    H_post, _, _ = residual_fn_builder(inlier, False)(x)
+    H_post, _, _ = residual_fn_builder(inlier, jnp.asarray(0.0, dtype))(x)
     return ns_out, inlier, jnp.sum(inlier), H_post
 
 
@@ -337,7 +356,7 @@ def pose_optimization_vi2(
             rc_, Jc_, _ = factors.reproj_navstate(
                 nsc.p, nsc.R, pts_w, uvs, Rcb, tcb, fx, fy, cx, cy)
             chi2c = jnp.sum(rc_ * rc_, axis=-1) * inv_sigma2
-            wc_ = huber_weight(chi2c, HUBER2_MONO) if robust else jnp.ones_like(chi2c)
+            wc_ = _rw(chi2c, HUBER2_MONO, robust)
             wc_ = wc_ * inv_sigma2 * inl_cur.astype(dtype)
             Hv, gv = accumulate_normal_eqs(Jc_, rc_, wc_)
             H = H.at[15:24, 15:24].add(Hv)
@@ -353,7 +372,7 @@ def pose_optimization_vi2(
                 preint.J_R_bg, dTij, gravity,
             )
             chi2_pre = rpre @ info_pvr @ rpre
-            wpre = huber_weight(chi2_pre, HUBER2_PVR) if robust else jnp.asarray(1.0, dtype)
+            wpre = _rw(chi2_pre, HUBER2_PVR, robust)
             Jfull = jnp.zeros((9, 30), dtype)
             Jfull = Jfull.at[:, 0:9].set(J_i)
             Jfull = Jfull.at[:, 9:15].set(J_b)
@@ -369,7 +388,7 @@ def pose_optimization_vi2(
                 nsp.bg, nsp.ba, nsc.bg, nsc.ba,
             )
             chi2_b = rb @ info_bias @ rb
-            wb = huber_weight(chi2_b, HUBER2_BIAS) if robust else jnp.asarray(1.0, dtype)
+            wb = _rw(chi2_b, HUBER2_BIAS, robust)
             Jbf = jnp.zeros((6, 30), dtype)
             Jbf = Jbf.at[:, 9:15].set(J_bi)
             Jbf = Jbf.at[:, 24:30].set(J_bj)
@@ -384,7 +403,7 @@ def pose_optimization_vi2(
                 ns_prev.p, ns_prev.v, ns_prev.R, ns_prev.dbg, ns_prev.dba,
             )
             chi2_pr = rpr @ prior_info @ rpr
-            wpr = huber_weight(chi2_pr, HUBER2_PRIOR) if robust else jnp.asarray(1.0, dtype)
+            wpr = _rw(chi2_pr, HUBER2_PRIOR, robust)
             Jpr = jnp.zeros((15, 30), dtype)
             Jpr = Jpr.at[:, 0:9].set(J_pvr)
             Jpr = Jpr.at[:, 9:15].set(J_bias)
@@ -401,7 +420,7 @@ def pose_optimization_vi2(
                     depth_meas, shi, gravity_z=g_z,
                 )
                 chi2_d = (rd[0] ** 2) * depth_info
-                wd = huber_weight(chi2_d, HUBER2_DEPTH) if robust else jnp.asarray(1.0, dtype)
+                wd = _rw(chi2_d, HUBER2_DEPTH, robust)
                 Jdf = jnp.zeros((1, 30), dtype)
                 Jdf = Jdf.at[:, 0:9].set(Jd_i)
                 Jdf = Jdf.at[:, 9:15].set(Jd_b)
@@ -419,9 +438,8 @@ def pose_optimization_vi2(
         nsc = nsc.inc_small_pvr(dx[15:24]).inc_small_bias(dx[24:30])
         return pack(nsp, nsc)
 
-    x = pack(ns_prev, ns_cur)
-    for rnd in range(rounds):
-        robust = rnd < rounds - 1
+    def round_body(carry, robust):
+        x, inlier = carry
         x, _ = lm_solve(
             x, residual_fn_builder(inlier, robust), retract, n_iters=iters,
         )
@@ -432,11 +450,17 @@ def pose_optimization_vi2(
         Rbw = jnp.swapaxes(nsc.R, -1, -2)
         pc_z = (mv(Rcb, mv(Rbw, pts_w - nsc.p)) + tcb)[..., 2]
         inlier = valid & (chi2 <= CHI2_MONO) & (pc_z > 0)
+        return (x, inlier), None
+
+    robust_sched = jnp.asarray(
+        [1.0 if r < rounds - 1 else 0.0 for r in range(rounds)], dtype)
+    (x, inlier), _ = jax.lax.scan(
+        round_body, (pack(ns_prev, ns_cur), inlier), robust_sched)
 
     nsp, nsc = unpack(x)
     # Schur marginalization of the previous block: the current state's
     # marginal information H_cc - H_cp H_pp^-1 H_pc
-    H_full, _, _ = residual_fn_builder(inlier, False)(x)
+    H_full, _, _ = residual_fn_builder(inlier, jnp.asarray(0.0, dtype))(x)
     Hpp = H_full[0:15, 0:15] + jnp.eye(15, dtype=dtype) * 1e-6
     Hcc = H_full[15:30, 15:30]
     Hcp = H_full[15:30, 0:15]
