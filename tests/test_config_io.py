@@ -119,3 +119,56 @@ def test_viz_draw(tmp_path):
     assert rgb.shape == (48, 64, 3)
     assert (rgb[10, 10] == (0, 255, 0)).all()
     plot_map(str(tmp_path / "map.png"), MapState.empty(4, 16, 8), trajectory=[[0, 0, 0], [1, 0, 0]])
+
+    # populated map: covisibility web + spanning tree + frustum markers
+    # (reference: MapPublisher covisibility/MST/camera, src/MapPublisher.cc)
+    import jax
+    import jax.numpy as jnp
+
+    from uvipslam_tpu.core.state import NavState
+
+    m = MapState.empty(4, 16, 8)
+    m = m.__class__(**{**m.__dict__, "pt_valid": m.pt_valid.at[:8].set(True),
+                       "n_pt": jnp.asarray(8, jnp.int32)})
+    for k in range(3):
+        ns = NavState.identity((), jnp.float32)
+        ns = ns.__class__(**{**ns.__dict__,
+                             "p": jnp.asarray([0.1 * k, 0.0, 0.0])})
+        m, _ = m.add_keyframe(
+            ns, jnp.asarray(float(k)), jnp.asarray(k, jnp.int32),
+            jnp.zeros((8, 2)), jnp.zeros((8, 256), jnp.int8),
+            jnp.zeros(8, jnp.int32), jnp.zeros(8),
+            jnp.ones(8, bool), jnp.arange(8, dtype=jnp.int32),
+            jnp.asarray(0.0), jnp.asarray(False),
+            jax.tree_util.tree_map(lambda a: a[0], m.kf_preint),
+            jnp.asarray(k - 1, jnp.int32),
+        )
+    plot_map(str(tmp_path / "map2.png"), m, covis_th=4)
+    assert (tmp_path / "map2.png").exists()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    """Structured metrics stream: typed JSONL rows, timers, counters,
+    and a summary record (replaces the reference's unstructured
+    cout/ROS_INFO observability, src/Tracking.cc:2040,2172)."""
+    import json
+
+    from uvipslam_tpu.utils.metrics import MetricsLogger
+
+    p = str(tmp_path / "metrics.jsonl")
+    ml = MetricsLogger(p, run_id="t")
+    ml.frame(0, {"state": "WORKING", "n_inliers": 42, "arr": [1, 2]})
+    with ml.timer("local_ba", kf=3):
+        pass
+    ml.counter("keyframes")
+    ml.counter("keyframes")
+    ml.close()
+
+    rows = [json.loads(ln) for ln in open(p)]
+    kinds = [r["kind"] for r in rows]
+    assert kinds == ["frame", "timing", "summary"]
+    assert rows[0]["state"] == "WORKING" and rows[0]["n_inliers"] == 42
+    assert "arr" not in rows[0]  # non-scalar fields are dropped
+    assert rows[1]["stage"] == "local_ba" and rows[1]["dur_s"] >= 0
+    assert rows[2]["counters"]["keyframes"] == 2
+    assert rows[2]["frame_states"] == {"WORKING": 1}

@@ -355,3 +355,41 @@ def test_second_loop_preserves_first_closure():
     rmse_before, _ = ate_rmse(est_C, true_C, align_scale=False)
     rmse_after, _ = ate_rmse(C, true_C, align_scale=False)
     assert rmse_after < 0.5 * rmse_before, (rmse_before, rmse_after)
+
+
+def test_cluster_channel_finds_loop_candidate():
+    """The DBSCAN-cluster loop channel (per-cluster haloc hashes +
+    centroid proximity; reference: getCandidates_haloc
+    src/LoopClosing.cc:739-776 and getCandidates_Proximity
+    src/LocalMapping.cc:1475-1511) must surface the revisit keyframe as
+    a candidate on its own, with the BoW/haloc KF channels out of the
+    picture."""
+    from uvipslam_tpu.loop.clusters import keyframe_clusters
+    from uvipslam_tpu.loop.closer import LoopCloser, max_covisible_haloc
+
+    K = 16
+    m, true_C, est_C = build_looped_map(K=K, drift=0.4)
+
+    # unit behavior: with min_pts above the feature count, the reference
+    # fallback makes ONE cluster of all mapped keypoints whose centroid
+    # is the mean member landmark (src/KeyFrame.cc:1160-1193)
+    hashes, cents, cnt = keyframe_clusters(m, 0, min_pts=100)
+    assert int(cnt[0]) == 64 and int(cnt[1]) == 0
+    want = np.asarray(m.pt_xyz[:64]).mean(0)
+    np.testing.assert_allclose(np.asarray(cents[0]), want, atol=1e-4)
+
+    lc = LoopCloser(400.0, 400.0, 320.0, 240.0)
+    for k in range(K):
+        lc._add_clusters(m, k)
+    grp = lc._covis_group(m, K - 1)
+    max_h = max_covisible_haloc(m, K - 1, lc.covis_th)
+    cands = lc._cluster_candidates(m, K - 1, grp, max_h)
+    assert 0 in cands, cands
+
+    # a closure records the cluster pairing and removes it from future
+    # candidate sets (reference: cluster_lc_found_)
+    for qc in lc.kf_cluster_ids[K - 1]:
+        for lcid in lc.kf_cluster_ids[0]:
+            lc.cluster_lc_found.append((qc, lcid))
+    cands2 = lc._cluster_candidates(m, K - 1, grp, max_h)
+    assert 0 not in cands2, cands2

@@ -28,6 +28,15 @@ def main(argv=None):
                     help="run N synthetic frames instead of a bag")
     ap.add_argument("--mode", type=int, default=None, help="0 MONO / 2 VIP")
     ap.add_argument("--out", default="stamped_traj_estimate.txt")
+    ap.add_argument("--gt", default=None,
+                    help="stamped_groundtruth.txt (TUM) — runs the "
+                         "rpg-style ATE evaluation after the replay")
+    ap.add_argument("--align", default=None,
+                    choices=["sim3", "se3", "posyaw", "none"],
+                    help="ATE alignment (default: sim3 for MONO, "
+                         "posyaw for VI/VIP)")
+    ap.add_argument("--metrics", default=None,
+                    help="write a structured JSONL metrics stream here")
     args = ap.parse_args(argv)
 
     from uvipslam_tpu.utils.cache import enable_persistent_cache
@@ -79,6 +88,8 @@ def main(argv=None):
                        init_mode=s.init_mode)
 
     n_frames = len(bundles["timestamps"])
+    from uvipslam_tpu.utils.metrics import MetricsLogger
+    ml = MetricsLogger(args.metrics, run_id=f"mode{s.mode}")
     t0 = time.time()
 
     if s.mode == MONO:
@@ -89,7 +100,8 @@ def main(argv=None):
                             loop_closing=bool(s.loop_closing))
         tr = MonoTracker(cam, cfg)
         for f in range(n_frames):
-            tr.process_frame(bundles["images"][f])
+            st = tr.process_frame(bundles["images"][f])
+            ml.frame(f, st)
     else:
         from uvipslam_tpu.frontend.vip_tracker import VipConfig, VipTracker
         cfg = VipConfig(n_tracks=s.n_features, px_distance=s.px_distance,
@@ -98,7 +110,7 @@ def main(argv=None):
                         loop_closing=bool(s.loop_closing), **imu_cfg)
         tr = VipTracker(cam, cfg)
         for f in range(n_frames):
-            tr.process_frame_vip(
+            st = tr.process_frame_vip(
                 bundles["images"][f], bundles["imu_omg"][f],
                 bundles["imu_acc"][f], bundles["imu_dt"][f],
                 bundles["imu_mask"][f],
@@ -106,8 +118,13 @@ def main(argv=None):
                 depth_valid=bool(bundles["depth_valid"][f]),
                 timestamp=float(bundles["timestamps"][f]),
             )
+            ml.frame(f, st)
 
     wall = time.time() - t0
+    ml.counter("frames", n_frames)
+    ml.event("run_end", fps=round(n_frames / max(wall, 1e-9), 2),
+             n_keyframes=int(tr.map.n_kf))
+    ml.close()
     ids = [i for i, _, _ in tr.trajectory]
     ts = [float(bundles["timestamps"][i]) for i in ids]
     Rs = [R for _, R, _ in tr.trajectory]
@@ -116,6 +133,15 @@ def main(argv=None):
     # reference prints FPS = Frame_Count / wall seconds at exit
     print(f"frames: {n_frames}  tracked: {len(ids)}  "
           f"FPS: {n_frames / max(wall, 1e-9):.2f}  -> {args.out}")
+
+    if args.gt:
+        import json
+
+        from uvipslam_tpu.io.evaluate import evaluate_ate
+        align = args.align or ("sim3" if s.mode == MONO else "posyaw")
+        res = evaluate_ate(args.out, args.gt, align=align)
+        print("ATE " + json.dumps(res))
+        return res
 
 
 if __name__ == "__main__":

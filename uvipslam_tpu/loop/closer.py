@@ -88,6 +88,21 @@ def min_covisible_score(m: MapState, query_kf: int, covis_th: int = 15):
     return float(jnp.where(jnp.isinf(mn), 0.0, mn))
 
 
+def max_covisible_haloc(m: MapState, query_kf: int, covis_th: int = 15):
+    """Max haloc L1 distance between the query KF and its covisible KFs
+    — the gate cluster-hash candidates must beat (reference:
+    maxHalocScore, src/LoopClosing.cc:163,177-188; initialized to 1)."""
+    one = jnp.zeros((m.kf_cap,), bool).at[query_kf].set(True)
+    pts = m.points_seen_by(one)
+    w = m.covisibility_with(pts)
+    covis = m.kf_valid & (w >= covis_th)
+    covis = covis.at[query_kf].set(False)
+    d = haloc.hash_distance(m.kf_hash[query_kf], m.kf_hash)
+    d = jnp.where(covis, d, -jnp.inf)
+    mx = jnp.max(d)
+    return float(jnp.where(jnp.isinf(mx), 1.0, jnp.maximum(mx, 1.0)))
+
+
 def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
                       fx, fy, cx, cy, min_inliers: int = 12,
                       Rcb=None, tcb=None):
@@ -313,6 +328,17 @@ class LoopCloser:
         self.consistent_groups: list[tuple[frozenset, int]] = []
         self.last_loop_kf: int = -(10 ** 9)
         self.n_closed = 0
+        # --- cluster channel state (the reference keeps these as
+        # LoopClosing::hash_table_ and LocalMapping::
+        # initial_cluster_pose_history_, NOT map state) ---
+        self.cl_kf: list[int] = []          # owning KF slot per cluster id
+        self.cl_hash: list[np.ndarray] = []  # per-cluster haloc hash
+        self.cl_cent: list[np.ndarray] = []  # per-cluster world centroid
+        self.kf_cluster_ids: dict[int, list[int]] = {}
+        # accepted loop cluster pairs (reference: cluster_lc_found_,
+        # excluded from future candidate searches, LoopClosing.cc:215-221)
+        self.cluster_lc_found: list[tuple[int, int]] = []
+        self.cluster_min_pts: int = 100     # reference: KeyFrame.cc:1036
         # post-correction polish BA (reference: RunGlobalBundleAdjustment
         # after CorrectLoop, src/LoopClosing.cc:691). Visual-only by
         # default; the VIP tracker swaps in the NavState form once VIO is
@@ -335,17 +361,105 @@ class LoopCloser:
         grp = np.nonzero(np.asarray(m.kf_valid & (w >= self.covis_th)))[0]
         return frozenset(grp.tolist()) | {kf}
 
+    # --- cluster channel --------------------------------------------------
+
+    def _add_clusters(self, m: MapState, kf: int) -> list[int]:
+        """Cluster the new keyframe's mapped keypoints and append the
+        per-cluster hashes/centroids to the global table (reference:
+        regionClustering at KF processing + the hash_table_ push at the
+        top of DetectLoop, src/LoopClosing.cc:131-139). Returns the new
+        global cluster ids."""
+        from uvipslam_tpu.loop.clusters import keyframe_clusters
+
+        hashes, cents, cnt = keyframe_clusters(m, kf, min_pts=self.cluster_min_pts)
+        hashes, cents, cnt = (np.asarray(hashes), np.asarray(cents),
+                              np.asarray(cnt))
+        ids = []
+        for c in range(cnt.shape[0]):
+            if cnt[c] <= 0:
+                continue
+            cid = len(self.cl_kf)
+            self.cl_kf.append(kf)
+            self.cl_hash.append(hashes[c])
+            self.cl_cent.append(cents[c])
+            ids.append(cid)
+        self.kf_cluster_ids[kf] = ids
+        return ids
+
+    def _cluster_candidates(self, m: MapState, query_kf: int,
+                            covis_group: frozenset,
+                            max_haloc: float) -> list[int]:
+        """Loop-candidate KFs from the two cluster channels: cluster-hash
+        matching (reference: getCandidates_haloc,
+        src/LoopClosing.cc:739-776 — temporal window of 10 cluster ids,
+        best 5 under the covisible-haloc gate) and centroid 2D proximity
+        (reference: getCandidates_Proximity,
+        src/LocalMapping.cc:1475-1511 — id window 12, best 3). A matched
+        cluster votes for its owning keyframe
+        (searchKF_loop_closer, src/LoopClosing.cc:236-242)."""
+        from uvipslam_tpu.loop.clusters import (
+            HALOC_BEST_N, HALOC_ID_WINDOW, PROX_BEST_N, PROX_ID_WINDOW,
+        )
+
+        q_ids = self.kf_cluster_ids.get(query_kf, [])
+        n = len(self.cl_kf)
+        if not q_ids or n == 0:
+            return []
+        owners = np.asarray(self.cl_kf)
+        table_h = np.stack(self.cl_hash)
+        table_c = np.stack(self.cl_cent)
+        # non-candidates: clusters owned by the covisible group (incl.
+        # query), and clusters already paired by a past closure
+        # (reference: no_candidates, src/LoopClosing.cc:204-221)
+        non = np.isin(owners, np.fromiter(covis_group | {query_kf}, int))
+        lc = dict(self.cluster_lc_found)
+        lc.update({b: a for a, b in self.cluster_lc_found})
+        cand_kfs: list[int] = []
+        all_ids = np.arange(n)
+        for cid in q_ids:
+            excl = non.copy()
+            excl |= np.abs(all_ids - cid) < HALOC_ID_WINDOW
+            if cid in lc:
+                excl[lc[cid]] = True
+            d = np.abs(table_h - self.cl_hash[cid][None]).sum(1)
+            d = np.where(excl, np.inf, d)
+            order = np.argsort(d)[:HALOC_BEST_N]
+            cand_kfs += owners[order[d[order] < max_haloc]].tolist()
+
+            excl_p = non | (np.abs(all_ids - cid) < PROX_ID_WINDOW)
+            if cid in lc:
+                excl_p[lc[cid]] = True
+            dxy = np.linalg.norm(
+                (table_c - self.cl_cent[cid][None])[:, :2], axis=1)
+            dxy = np.where(excl_p, np.inf, dxy)
+            order = np.argsort(dxy)[:PROX_BEST_N]
+            cand_kfs += owners[order[np.isfinite(dxy[order])]].tolist()
+        return sorted(set(cand_kfs))
+
     def process_keyframe(self, m: MapState, query_kf: int):
         """Run detection for the new keyframe `query_kf`; if a candidate
         passes the consistency chain and Sim3 verification, returns the
         corrected map. Returns (map, status dict)."""
         status = {"loop": False, "candidates": 0}
+        # cluster hashes are stored for EVERY processed keyframe, before
+        # any early return (reference: the hash_table_ push at the top of
+        # DetectLoop, src/LoopClosing.cc:131-139)
+        self._add_clusters(m, query_kf)
         if query_kf - self.last_loop_kf < self.min_gap:
             return m, status
 
         ms = min_covisible_score(m, query_kf, self.covis_th)
         idx, _ = detect_loop_candidates(
             m, query_kf, min_gap=self.min_gap, min_score=ms)
+        # third + fourth channels: cluster-hash and cluster-proximity
+        # candidates (reference: KF_Candidates_Cluster/_Proximity merged
+        # into vpCandidateKFs, src/LoopClosing.cc:195-248)
+        covis_group = self._covis_group(m, query_kf)
+        max_h = max_covisible_haloc(m, query_kf, self.covis_th)
+        cl = [c for c in self._cluster_candidates(m, query_kf, covis_group, max_h)
+              if c <= query_kf - self.min_gap]
+        idx = np.unique(np.concatenate([idx, np.asarray(cl, idx.dtype)])
+                        ) if cl else idx
         status["candidates"] = len(idx)
 
         # --- covisibility-consistency chaining ---
@@ -388,6 +502,11 @@ class LoopCloser:
             self.last_loop_kf = query_kf
             self.n_closed += 1
             self.consistent_groups = []
+            # exclude this closure's cluster pairs from future searches
+            # (reference: cluster_lc_found_, src/LoopClosing.cc:215-221)
+            for qc in self.kf_cluster_ids.get(query_kf, []):
+                for lc_ in self.kf_cluster_ids.get(int(c), []):
+                    self.cluster_lc_found.append((qc, lc_))
             status.update(loop=True, loop_kf=int(c), sim3_inliers=int(n_in),
                           scale=float(s))
             break

@@ -50,9 +50,12 @@ def save_frame_png(path: str, rgb: np.ndarray) -> None:
             f.write(rgb.tobytes())
 
 
-def plot_map(path: str, m, trajectory=None) -> None:
-    """Top-down map figure: landmarks, keyframes, pose trail
-    (reference: MapPublisher markers — points, KFs, trail)."""
+def plot_map(path: str, m, trajectory=None, covis_th: int = 30,
+             frustum_scale: float = 0.15) -> None:
+    """Top-down map figure with the reference MapPublisher's marker set
+    (reference: src/MapPublisher.cc:29-131 — points, keyframes,
+    COVISIBILITY graph edges, SPANNING tree, current-camera frustum,
+    pose trail)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -65,8 +68,42 @@ def plot_map(path: str, m, trajectory=None) -> None:
     fig, ax = plt.subplots(figsize=(8, 6))
     if ptv.any():
         ax.scatter(pts[ptv, 0], pts[ptv, 1], s=1, c="gray", label="landmarks")
+
+    # covisibility graph (green web, reference :84-107) + spanning tree
+    # (kf_prev chain, reference MST markers :109-127)
+    if kfv.sum() >= 2:
+        W = np.asarray(m.covisibility_matrix())
+        ii, jj = np.nonzero(np.triu(W, 1) >= covis_th)
+        for a, b in zip(ii, jj):
+            if kfv[a] and kfv[b]:
+                ax.plot([kfp[a, 0], kfp[b, 0]], [kfp[a, 1], kfp[b, 1]],
+                        c="limegreen", lw=0.4, alpha=0.5, zorder=1)
+        prev = np.asarray(m.kf_prev)
+        for k in np.nonzero(kfv)[0]:
+            p = prev[k]
+            if p >= 0 and kfv[p]:
+                ax.plot([kfp[k, 0], kfp[p, 0]], [kfp[k, 1], kfp[p, 1]],
+                        c="navy", lw=0.7, zorder=2)
+
     if kfv.any():
-        ax.plot(kfp[kfv, 0], kfp[kfv, 1], "b^-", ms=4, lw=0.8, label="keyframes")
+        ax.plot(kfp[kfv, 0], kfp[kfv, 1], "b^", ms=4, label="keyframes")
+        # current-camera frustum at the newest keyframe (reference
+        # PublishCurrentCamera :140-163): a wedge along the optical axis
+        k_last = int(np.nonzero(kfv)[0].max())
+        from uvipslam_tpu.frontend.tracker import _ns_to_cam_pose
+        import jax.tree_util as jtu
+        Rcw, tcw = _ns_to_cam_pose(jtu.tree_map(lambda x: x[k_last], m.kf_ns))
+        Rcw, tcw = np.asarray(Rcw), np.asarray(tcw)
+        C = -Rcw.T @ tcw
+        z = Rcw.T @ np.asarray([0.0, 0.0, 1.0])   # optical axis in world
+        x = Rcw.T @ np.asarray([1.0, 0.0, 0.0])
+        f = frustum_scale
+        corners = [C + f * (2 * z + x), C + f * (2 * z - x)]
+        for c in corners:
+            ax.plot([C[0], c[0]], [C[1], c[1]], c="red", lw=1.2, zorder=3)
+        ax.plot([corners[0][0], corners[1][0]],
+                [corners[0][1], corners[1][1]], c="red", lw=1.2, zorder=3)
+
     if trajectory is not None and len(trajectory):
         traj = np.asarray(trajectory)
         ax.plot(traj[:, 0], traj[:, 1], "g-", lw=1.0, label="trajectory")
