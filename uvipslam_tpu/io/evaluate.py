@@ -30,7 +30,10 @@ from uvipslam_tpu.io.trajectory import load_tum_trajectory
 def associate(ts_est: np.ndarray, ts_gt: np.ndarray, max_dt: float = 0.02):
     """Nearest-stamp association. Returns (idx_est, idx_gt) index arrays
     of the matched pairs (each estimate stamp matched to its nearest
-    groundtruth stamp, kept when |dt| <= max_dt)."""
+    groundtruth stamp, kept when |dt| <= max_dt). One-to-one like the
+    rpg/TUM protocol: when several estimate stamps hit the same
+    groundtruth stamp only the smallest-|dt| pair is kept, so a sparse
+    groundtruth never double-counts in the RMSE."""
     ts_est = np.asarray(ts_est, np.float64)
     ts_gt = np.asarray(ts_gt, np.float64)
     order = np.argsort(ts_gt)
@@ -42,7 +45,14 @@ def associate(ts_est: np.ndarray, ts_gt: np.ndarray, max_dt: float = 0.02):
     nearest = np.where(take_right, pos, pos - 1)
     dt = np.abs(tg[nearest] - ts_est)
     keep = dt <= max_dt
-    return np.nonzero(keep)[0], order[nearest[keep]]
+    idx_est = np.nonzero(keep)[0]
+    idx_gt = nearest[keep]
+    # dedup: keep the best estimate per groundtruth stamp (stable argsort
+    # by |dt| → first occurrence of each gt index wins)
+    by_dt = np.argsort(dt[keep], kind="stable")
+    _, first = np.unique(idx_gt[by_dt], return_index=True)
+    sel = np.sort(by_dt[first])
+    return idx_est[sel], order[idx_gt[sel]]
 
 
 def umeyama_alignment(est: np.ndarray, gt: np.ndarray,

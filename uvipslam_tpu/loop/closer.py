@@ -412,23 +412,33 @@ class LoopCloser:
         # query), and clusters already paired by a past closure
         # (reference: no_candidates, src/LoopClosing.cc:204-221)
         non = np.isin(owners, np.fromiter(covis_group | {query_kf}, int))
-        lc = dict(self.cluster_lc_found)
-        lc.update({b: a for a, b in self.cluster_lc_found})
+        # stale owners: keyframes invalidated by culling must never be
+        # re-proposed (the BoW/haloc KF channel applies the same mask in
+        # detect_loop_candidates)
+        non |= ~np.asarray(m.kf_valid)[owners]
+        # every cluster ever paired with cid by a past closure is excluded
+        # (reference pushes each matching pair into no_candidates,
+        # src/LoopClosing.cc:215-221) — a dict would keep only the last
+        # pairing per cluster id
+        lc: dict[int, set] = {}
+        for a, b in self.cluster_lc_found:
+            lc.setdefault(a, set()).add(b)
+            lc.setdefault(b, set()).add(a)
         cand_kfs: list[int] = []
         all_ids = np.arange(n)
         for cid in q_ids:
             excl = non.copy()
             excl |= np.abs(all_ids - cid) < HALOC_ID_WINDOW
-            if cid in lc:
-                excl[lc[cid]] = True
+            for other in lc.get(cid, ()):
+                excl[other] = True
             d = np.abs(table_h - self.cl_hash[cid][None]).sum(1)
             d = np.where(excl, np.inf, d)
             order = np.argsort(d)[:HALOC_BEST_N]
             cand_kfs += owners[order[d[order] < max_haloc]].tolist()
 
             excl_p = non | (np.abs(all_ids - cid) < PROX_ID_WINDOW)
-            if cid in lc:
-                excl_p[lc[cid]] = True
+            for other in lc.get(cid, ()):
+                excl_p[other] = True
             dxy = np.linalg.norm(
                 (table_c - self.cl_cent[cid][None])[:, :2], axis=1)
             dxy = np.where(excl_p, np.inf, dxy)

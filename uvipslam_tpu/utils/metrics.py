@@ -38,6 +38,7 @@ class MetricsLogger:
         self.flush_every = flush_every
         self._rows: list[dict] = []
         self._counters: dict[str, float] = {}
+        self._frame_states: dict[str, int] = {}
         self._t0 = time.time()
         self._fh = open(path, "w") if path else None
 
@@ -48,6 +49,9 @@ class MetricsLogger:
         if self.run_id:
             row["run"] = self.run_id
         row.update(fields)
+        if kind == "frame":
+            s = row.get("state", "?")
+            self._frame_states[s] = self._frame_states.get(s, 0) + 1
         self._rows.append(row)
         if len(self._rows) >= self.flush_every:
             self.flush()
@@ -73,12 +77,10 @@ class MetricsLogger:
     # --- lifecycle -----------------------------------------------------
 
     def summary(self) -> dict:
-        states: dict[str, int] = {}
-        for r in self._rows:
-            if r.get("kind") == "frame":
-                s = r.get("state", "?")
-                states[s] = states.get(s, 0) + 1
-        return {"counters": dict(self._counters), "frame_states": states,
+        # Frame-state counts accumulate at event() time: summary() must
+        # survive the periodic flush() that clears the row buffer.
+        return {"counters": dict(self._counters),
+                "frame_states": dict(self._frame_states),
                 "wall_s": round(time.time() - self._t0, 3)}
 
     def flush(self) -> None:
