@@ -25,6 +25,28 @@ import time
 import numpy as np
 
 
+def _timed_reps(run, fresh_args, n_reps=3):
+    """Median wall time of `run(*args)` over `n_reps` repetitions, each on
+    FRESHLY device_put input buffers. Re-running a jitted program on the
+    exact same device buffers through this environment's TPU tunnel can
+    return absurd timings (observed 17000+ fps artifacts — the tunnel
+    elides or caches the dispatch); fresh buffers force a real execution
+    every rep, and the median rejects stragglers."""
+    import jax
+    times = []
+    for _ in range(n_reps):
+        args = fresh_args()
+        # device_put is async: wait for the H2D transfer to land before
+        # starting the clock, so tunnel transfer time isn't charged to
+        # the device program
+        jax.block_until_ready(args)
+        t0 = time.time()
+        out = run(*args)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
 def main_vip():
     """`python bench.py --mode vip`: full VIP pipeline (IMU + pressure),
     whole sequence scanned in ONE device program via the device-resident
@@ -74,10 +96,17 @@ def main_vip():
     jax.block_until_ready(stf.tcw)
     compile_s = time.time() - t_start
 
-    t0 = time.time()
-    stf, outs = scan_all(st0, bundles)
-    jax.block_until_ready(stf.tcw)
-    fps = N_FRAMES / (time.time() - t0)
+    bundles_np = jax.tree_util.tree_map(np.asarray, bundles)
+    st0_np = jax.tree_util.tree_map(np.asarray, st0)
+
+    def fresh():
+        return (jax.device_put(st0_np), jax.device_put(bundles_np))
+
+    def run(st, bs):
+        stf, _ = scan_all(st, bs)
+        return stf.tcw
+
+    fps = N_FRAMES / _timed_reps(run, fresh)
 
     states = np.asarray(outs.state)
     vio = np.asarray(outs.vio_ok)
@@ -147,12 +176,18 @@ def main():
     jax.block_until_ready(stf.tcw)
     compile_s = time.time() - t_start
 
-    # timed runs (whole sequence = one dispatch)
-    t0 = time.time()
-    stf, outs = scan_all(st0, imgs)
-    jax.block_until_ready(stf.tcw)
-    scan_s = time.time() - t0
-    fps = N_FRAMES / scan_s
+    # timed runs (whole sequence = one dispatch), fresh buffers each rep
+    imgs_np = np.asarray(imgs)
+    st0_np = jax.tree_util.tree_map(np.asarray, st0)
+
+    def fresh():
+        return (jax.device_put(st0_np), jax.device_put(imgs_np))
+
+    def run(st, ims):
+        stf, _ = scan_all(st, ims)
+        return stf.tcw
+
+    fps = N_FRAMES / _timed_reps(run, fresh)
 
     # streamed mode (per-frame dispatch through the tunnel) for reference
     st = st0

@@ -99,10 +99,10 @@ def test_detect_candidates_finds_loop():
 
 def test_sim3_and_correction():
     m, true_C, est_C = build_looped_map()
-    ok, s, R, t, n_in = compute_loop_sim3(
+    ok, s, R, t, n_in, n_total = compute_loop_sim3(
         m, 9, 0, jax.random.PRNGKey(0), 400.0, 400.0, 320.0, 240.0,
     )
-    assert ok, n_in
+    assert ok, (n_in, n_total)
     # the relative Sim3 should capture the drift between est poses of
     # kf9 and kf0 camera frames: X_9 = R X_0 + t with t ~ -(drift offset)
     assert abs(float(s) - 1.0) < 0.05
@@ -332,17 +332,17 @@ def test_second_loop_preserves_first_closure():
     half = K // 2
     m, true_C, est_C = build_two_loop_map(K=K)
 
-    ok1, s1, R1, t1, n1 = compute_loop_sim3(
+    ok1, s1, R1, t1, n1, nt1 = compute_loop_sim3(
         m, half, 0, jax.random.PRNGKey(1), 400.0, 400.0, 320.0, 240.0)
-    assert ok1, n1
+    assert ok1, (n1, nt1)
     m = close_loop(m, half, 0, s1, R1, t1, n_iters=25)
     assert int(m.n_loop) == 1
     C = np.asarray(m.kf_ns.p[:K])
     assert np.linalg.norm(C[half] - C[0]) < 0.06, C[half] - C[0]
 
-    ok2, s2, R2, t2, n2 = compute_loop_sim3(
+    ok2, s2, R2, t2, n2, nt2 = compute_loop_sim3(
         m, K - 1, 0, jax.random.PRNGKey(2), 400.0, 400.0, 320.0, 240.0)
-    assert ok2, n2
+    assert ok2, (n2, nt2)
     m = close_loop(m, K - 1, 0, s2, R2, t2, n_iters=25)
     assert int(m.n_loop) == 2
 

@@ -247,100 +247,20 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                           scale_sigmas, cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
                           depth_info_cfg, Rcb, tcb)
 
-    # ------------------------------------------------------------------
-    # mono bootstrap branches (device_tracker semantics + IMU accumulation)
-    # ------------------------------------------------------------------
-    def branch_not_initialized(st: VipTrackerState, b: FrameBundle):
-        tracks = refill_tracks(st.tracks, b.img, st.frame_id,
-                               n_features=cfg.n_tracks,
-                               px_distance=cfg.px_distance)
-        tracks = undistort(tracks)
-        n = jnp.sum(tracks.valid)
-        go = n >= cfg.min_init_tracks
-        tracks = dataclasses.replace(
-            tracks,
-            birth_frame=jnp.where(go, jnp.full_like(tracks.birth_frame, st.frame_id),
-                                  tracks.birth_frame),
-            birth_xy_und=jnp.where(go, tracks.xy_und, tracks.birth_xy_und),
-        )
-        st = dataclasses.replace(
-            st, tracks=tracks,
-            state=jnp.where(go, INITIALIZING, NOT_INITIALIZED).astype(jnp.int32),
-            init_frame_id=jnp.where(go, st.frame_id, st.init_frame_id),
-            init_time=jnp.where(go, st.frame_time, st.init_time),
-        )
-        return _zero_kf_accumulators(st)
-
-    def branch_initializing(st: VipTrackerState, b: FrameBundle):
-        t = undistort(st.tracks)
-        key, sub = jax.random.split(st.key)
-        cand = t.valid & (t.birth_frame == st.init_frame_id)
-        rec = initialize_two_view(sub, t.birth_xy_und, t.xy_und, cand, cam.K,
-                                  sigma=1.0)
-        enough = jnp.sum(cand) >= cfg.min_init_tracks // 2
-        ok = rec["ok"] & enough
-
-        def commit(op):
-            st, t, rec, b = op
-            good = rec["good"]
-            z = rec["points"][:, 2]
-            med = jnp.nan_to_num(jnp.nanmedian(jnp.where(good, z, jnp.nan)), nan=1.0)
-            scale = 1.0 / jnp.maximum(med, 1e-6)
-            pts3 = rec["points"] * scale
-            R, tvec = rec["R"], rec["t"] * scale
-
-            m = st.map
-            ns0 = _cam_pose_to_ns(jnp.eye(3, dtype=jnp.float32),
-                                  jnp.zeros(3, jnp.float32))
-            ns1 = _cam_pose_to_ns(R, tvec)
-            normals = pts3 / jnp.maximum(
-                jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9)
-            dist = jnp.linalg.norm(pts3, axis=-1)
-            m, ids = m.add_points(pts3, t.desc, normals, dist / 2.0, dist * 2.0,
-                                  jnp.asarray(0), st.frame_id, good)
-            feat_pt = jnp.where(good, ids, -1)
-            zp = PreintState.zero(dtype=jnp.float32)
-            m, k0 = m.add_keyframe(
-                ns0, st.init_time, st.init_frame_id,
-                t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
-                jnp.asarray(0.0), jnp.asarray(False), zp, jnp.asarray(-1),
-            )
-            m, k1 = m.add_keyframe(
-                ns1, st.frame_time, st.frame_id,
-                t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
-                b.depth, b.depth_valid, zp, k0,
-            )
-            m = run_mono_ba(m)
-            t2 = dataclasses.replace(t, pt_id=jnp.where(good, feat_pt, -1))
-            ns1n = jax.tree_util.tree_map(lambda a: a[1], m.kf_ns)
-            Rcw, tcw = _ns_to_cam_pose(ns1n)
-            ring_R = st.ring_R.at[st.init_frame_id % RING].set(
-                jnp.eye(3, dtype=jnp.float32))
-            ring_t = st.ring_t.at[st.init_frame_id % RING].set(
-                jnp.zeros(3, jnp.float32))
-            ring_f = st.ring_frame.at[st.init_frame_id % RING].set(st.init_frame_id)
-            st = dataclasses.replace(
-                st, tracks=t2, map=m, Rcw=Rcw, tcw=tcw,
-                R_vel=jnp.eye(3), t_vel=jnp.zeros(3),
-                ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
-                last_kf_slot=k1.astype(jnp.int32), last_kf_frame=st.frame_id,
-                n_ref_tracked=jnp.sum(good).astype(jnp.int32),
-                state=jnp.asarray(WORKING, jnp.int32),
-            )
-            return _zero_kf_accumulators(st)
-
-        def keep(op):
-            st, t, rec, b = op
-            n = jnp.sum(t.valid & (t.birth_frame == st.init_frame_id))
-            stale = (n < cfg.min_init_tracks // 2) | (
-                st.frame_id - st.init_frame_id > 30)
-            return dataclasses.replace(
-                st, tracks=t,
-                state=jnp.where(stale, NOT_INITIALIZED, INITIALIZING).astype(jnp.int32),
-            )
-
-        st2 = jax.lax.cond(ok, commit, keep, (st, t, rec, b))
-        return dataclasses.replace(st2, key=key)
+    # ==================================================================
+    # STAGED per-frame step.
+    #
+    # The heavy subgraphs — ORB refill + descriptor refresh, two-view
+    # RANSAC, the mono pose+local-map solve, triangulation, the two
+    # windowed BAs, map hygiene — are instantiated exactly ONCE each,
+    # hoisted OUT of the state switch behind flags. lax.switch/cond
+    # branches compile as separate XLA computations, so the previous
+    # design (every branch inlining its own copy) duplicated the
+    # largest kernels up to 6x in the compiled module; module size is
+    # compile time. The per-state branches below only decide and do
+    # cheap algebra; control flows to the shared stages through a small
+    # dict of scalar flags (`ctl`).
+    # ==================================================================
 
     # ------------------------------------------------------------------
     # on-device TryInitVIO (reference: src/LocalMapping.cc:89-709;
@@ -492,389 +412,18 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             lambda a, b_: jnp.where(ok, a, b_), st_ok, st)
 
     # ------------------------------------------------------------------
-    # WORKING branch, mono form (pre-VIO-init)
+    # per-state branches: decide + cheap algebra only (heavy stages are
+    # hoisted into `step` below and run once, gated by flags)
     # ------------------------------------------------------------------
-    def mono_working(st: VipTrackerState, b: FrameBundle):
-        t = undistort(st.tracks)
-        Rp = mm(st.R_vel, st.Rcw)
-        tp = mv(st.R_vel, st.tcw) + st.t_vel
-        R1, t1, inlier1, n_in, t2 = _pose_and_localmap_jit(
-            t, st.map, Rp, tp, cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas)
+    ZB = jnp.asarray(False)
+    ZI = jnp.asarray(0, jnp.int32)
 
-        def lost(op):
-            st, *_ = op
-            return dataclasses.replace(st, state=jnp.asarray(LOST, jnp.int32))
+    def no_ctl():
+        return dict(want_kf=ZB, want_ba=ZB, adopt=ZI, want_hyg=ZB,
+                    want_trigger=ZB)
 
-        def keep_working(op):
-            st, t2, R1, t1, n_in, b = op
-            R_prev, t_prev = st.Rcw, st.tcw
-            Rcw = lie.normalize_rotation(R1)
-            Rinv, tinv = lie.se3_inverse(R_prev, t_prev)
-            R_vel, t_vel = lie.se3_compose(R1, t1, Rinv, tinv)
-            R_vel = lie.normalize_rotation(R_vel)
+    H_PRIOR0 = jnp.eye(15, dtype=jnp.float32) * 1e2
 
-            tracks = refill_tracks(t2, b.img, st.frame_id,
-                                   n_features=cfg.n_tracks,
-                                   px_distance=cfg.px_distance)
-            tracks = refresh_descriptors(tracks, b.img)
-            tracks = undistort(tracks)
-            tracks = refresh_birth(tracks, st.frame_id)
-            st = dataclasses.replace(st, tracks=tracks, Rcw=Rcw, tcw=t1,
-                                     R_vel=R_vel, t_vel=t_vel)
-
-            since = st.frame_id - st.last_kf_frame
-            need_kf = (since >= cfg.kf_min_interval) & (
-                (since >= cfg.kf_max_interval)
-                | (n_in < cfg.kf_track_ratio * jnp.maximum(st.n_ref_tracked, 1))
-            )
-
-            def create_kf(st):
-                t = st.tracks
-                m, t = _triangulate_new_jit(
-                    st.map, t, st.ring_R, st.ring_t, st.ring_frame,
-                    st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
-                    st.frame_id, st.last_kf_slot,
-                )
-                ns = _cam_pose_to_ns(st.Rcw, st.tcw)
-                m, k = m.add_keyframe(
-                    ns, st.frame_time, st.frame_id,
-                    t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
-                    b.depth, b.depth_valid, st.preint_kf, st.last_kf_slot,
-                    imu_omg=st.kf_omg, imu_acc=st.kf_acc,
-                    imu_dt=st.kf_dt, imu_mask=st.kf_mask,
-                )
-                m = run_mono_ba(m)
-                ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
-                Rcw, tcw = _ns_to_cam_pose(ns_k)
-                if cfg.map_hygiene:
-                    m, t = device_hygiene(m, t, st.frame_id, Rcw, tcw,
-                                          cam.fx, cam.fy, cam.cx, cam.cy)
-                st = dataclasses.replace(
-                    st, tracks=t, map=m, Rcw=Rcw, tcw=tcw,
-                    last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
-                    n_ref_tracked=jnp.sum(t.valid & (t.pt_id >= 0)).astype(jnp.int32),
-                )
-                st = _zero_kf_accumulators(st)
-                # VIO init trigger (reference: TryInitVIO every mapper
-                # cycle until success, src/LocalMapping.cc:819-842)
-                lo = jnp.maximum(m.n_kf - 1, 0)
-                t_span = m.kf_time[lo] - m.kf_time[0]
-                trigger = (~st.vio_ok
-                           & (m.n_kf >= cfg.vio_init_min_kfs)
-                           & (t_span >= cfg.vio_init_min_time))
-                return jax.lax.cond(trigger, try_init_vio, lambda s: s, st)
-
-            return jax.lax.cond(need_kf, create_kf, lambda s: s, st)
-
-        return jax.lax.cond(
-            n_in < cfg.min_tracked, lost, keep_working,
-            (st, t2, R1, t1, n_in, b),
-        )
-
-    # ------------------------------------------------------------------
-    # WORKING branch, VI(P) form (post-init)
-    # ------------------------------------------------------------------
-    def vi_working(st: VipTrackerState, b: FrameBundle, pre_frame: PreintState):
-        t = undistort(st.tracks)
-        depth_info = jnp.where(b.depth_valid, depth_info_cfg, 0.0)
-
-        g = gravity_w
-        dt = pre_frame.dt
-        ns_pred = dataclasses.replace(
-            st.ns,
-            p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + mv(st.ns.R, pre_frame.dP),
-            v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
-            R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
-        )
-
-        ns_opt, inlier, n_in, tracks2, H_post = _vi_track_jit(
-            t, st.map, ns_pred, st.ns, pre_frame, gravity_w,
-            cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
-            cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
-            b.depth, depth_info, st.H_prior, Rcb, tcb,
-        )
-
-        def to_recovery(op):
-            st, ns_pred, b = op
-            # pressure-z override on the dead-reckoned state
-            p_over = jnp.where(
-                b.depth_valid, ns_pred.p.at[2].set(b.depth), ns_pred.p)
-            ns_dr = dataclasses.replace(ns_pred, p=p_over)
-            Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
-            st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
-            return enter_recovery(st, b)
-
-        def keep_working(op):
-            st, _, b = op
-            tr = H_post.trace() / 15.0
-            H_new = (H_post + jnp.eye(15, dtype=jnp.float32) * 1e-3) * \
-                jnp.minimum(1.0, 1e6 / jnp.maximum(tr, 1e-6))
-            Rcw, tcw = _ns_to_cam_pose_ext(ns_opt, Rcb, tcb)
-            tracks = refill_tracks(tracks2, b.img, st.frame_id,
-                                   n_features=cfg.n_tracks,
-                                   px_distance=cfg.px_distance)
-            tracks = refresh_descriptors(tracks, b.img)
-            tracks = undistort(tracks)
-            tracks = refresh_birth(tracks, st.frame_id)
-            st = dataclasses.replace(st, tracks=tracks, ns=ns_opt,
-                                     Rcw=Rcw, tcw=tcw, H_prior=H_new)
-
-            since = st.frame_id - st.last_kf_frame
-            need_kf = (since >= cfg.kf_min_interval) & (
-                (since >= cfg.kf_max_interval)
-                | (n_in < cfg.kf_track_ratio * jnp.maximum(st.n_ref_tracked, 1))
-            )
-
-            def create_kf(st):
-                t = st.tracks
-                m, t = _triangulate_new_jit(
-                    st.map, t, st.ring_R, st.ring_t, st.ring_frame,
-                    st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
-                    st.frame_id, st.last_kf_slot,
-                )
-                # re-integrate the window at the current bias
-                # linearization point (see vip_tracker._create_keyframe)
-                pre_store = preintegrate(
-                    st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
-                    st.ns.bg, st.ns.ba,
-                    cfg.gyr_noise_sd, cfg.acc_noise_sd,
-                )
-                m, k = m.add_keyframe(
-                    st.ns, st.frame_time, st.frame_id,
-                    t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
-                    b.depth, b.depth_valid, pre_store, st.last_kf_slot,
-                    imu_omg=st.kf_omg, imu_acc=st.kf_acc,
-                    imu_dt=st.kf_dt, imu_mask=st.kf_mask,
-                )
-                m = run_vi_ba(m)
-                ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
-                Rcw, tcw = _ns_to_cam_pose_ext(ns_k, Rcb, tcb)
-                if cfg.map_hygiene:
-                    m, t = device_hygiene(m, t, st.frame_id, Rcw, tcw,
-                                          cam.fx, cam.fy, cam.cx, cam.cy)
-                st = dataclasses.replace(
-                    st, tracks=t, map=m, ns=ns_k, Rcw=Rcw, tcw=tcw,
-                    last_kf_slot=k.astype(jnp.int32), last_kf_frame=st.frame_id,
-                    n_ref_tracked=jnp.sum(t.valid & (t.pt_id >= 0)).astype(jnp.int32),
-                    H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
-                )
-                return _zero_kf_accumulators(st)
-
-            return jax.lax.cond(need_kf, create_kf, lambda s: s, st)
-
-        return jax.lax.cond(n_in < cfg.min_tracked, to_recovery, keep_working,
-                            (st, ns_pred, b))
-
-    def branch_working(st: VipTrackerState, b: FrameBundle,
-                       pre_frame: PreintState):
-        return jax.lax.cond(
-            st.vio_ok,
-            lambda op: vi_working(*op),
-            lambda op: mono_working(op[0], op[1]),
-            (st, b, pre_frame),
-        )
-
-    # ------------------------------------------------------------------
-    # sustained-failure recovery (reference: src/Tracking.cc:594-613,
-    # 1529-1834 — IMU dead-reckoning + fresh sub-map re-anchor)
-    # ------------------------------------------------------------------
-    def enter_recovery(st: VipTrackerState, b: FrameBundle) -> VipTrackerState:
-        t = refill_tracks(Tracks.empty(cfg.n_tracks), b.img, st.frame_id,
-                          n_features=cfg.n_tracks, px_distance=cfg.px_distance)
-        t = undistort(t)
-        t = dataclasses.replace(
-            t,
-            birth_frame=jnp.full_like(t.birth_frame, st.frame_id),
-            birth_xy_und=t.xy_und,
-        )
-        st = dataclasses.replace(
-            st, tracks=t,
-            state=jnp.asarray(IMU_RELOC, jnp.int32),
-            rec_ns=st.ns, rec_frame=st.frame_id, rec_time=st.frame_time,
-            rec_depth=b.depth, rec_depth_valid=b.depth_valid,
-            rec_preint=st.preint_kf,
-            rec_omg=st.kf_omg, rec_acc=st.kf_acc,
-            rec_dt=st.kf_dt, rec_mask=st.kf_mask,
-            H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
-        )
-        return _zero_kf_accumulators(st)
-
-    def branch_recovery(st: VipTrackerState, b: FrameBundle,
-                        pre_frame: PreintState):
-        # dead-reckon + pressure-z override
-        g = gravity_w
-        dt = pre_frame.dt
-        ns_pred = dataclasses.replace(
-            st.ns,
-            p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + mv(st.ns.R, pre_frame.dP),
-            v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
-            R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
-        )
-        p_over = jnp.where(b.depth_valid, ns_pred.p.at[2].set(b.depth),
-                           ns_pred.p)
-        ns_dr = dataclasses.replace(ns_pred, p=p_over)
-        Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
-        st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
-
-        t = undistort(st.tracks)
-        st = dataclasses.replace(st, tracks=t)
-
-        since = st.frame_id - st.rec_frame
-        n_live = jnp.sum(t.valid)
-        stale = (since >= cfg.recovery_max_frames) | (
-            n_live < cfg.min_init_tracks // 2)
-
-        Ra, ta = _ns_to_cam_pose_ext(st.rec_ns, Rcb, tcb)
-        R_rel_imu = mm(Rcw, jnp.swapaxes(Ra, -1, -2))
-        t_rel_imu = tcw - mv(R_rel_imu, ta)
-        baseline = jnp.linalg.norm(t_rel_imu)
-
-        key, sub = jax.random.split(st.key)
-        st = dataclasses.replace(st, key=key)
-        cand = t.valid & (t.birth_frame == st.rec_frame)
-        rec = initialize_two_view(sub, t.birth_xy_und, t.xy_und, cand, cam.K,
-                                  sigma=1.0)
-        try_ok = (~stale & (since >= cfg.recovery_min_frames)
-                  & (baseline >= cfg.recovery_min_baseline) & rec["ok"])
-
-        def commit(op):
-            st, t, rec, b = op
-            good = rec["good"]
-            s = baseline
-            pts_c = rec["points"] * s
-            Raw = jnp.swapaxes(Ra, -1, -2)
-            pts_w = mv(Raw, pts_c - ta)
-            R1 = mm(rec["R"], Ra)
-            t1 = rec["t"] * s + mv(rec["R"], ta)
-
-            m = st.map
-            k0_slot = m.n_kf
-            normals = pts_w - mv(Raw, -ta)
-            dist = jnp.linalg.norm(normals, axis=-1)
-            normals = normals / jnp.maximum(dist[:, None], 1e-9)
-            m, ids = m.add_points(pts_w, t.desc, normals, dist / 2.0,
-                                  dist * 2.0, k0_slot, st.frame_id, good)
-            feat_pt = jnp.where(good, ids, -1)
-            # re-integrate both stored windows at the current bias
-            # linearization point (see vip_tracker._create_keyframe)
-            pre_anchor = preintegrate(
-                st.rec_omg, st.rec_acc, st.rec_dt, st.rec_mask,
-                st.ns.bg, st.ns.ba, cfg.gyr_noise_sd, cfg.acc_noise_sd,
-            )
-            pre_cur = preintegrate(
-                st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
-                st.ns.bg, st.ns.ba, cfg.gyr_noise_sd, cfg.acc_noise_sd,
-            )
-            m, k0 = m.add_keyframe(
-                st.rec_ns, st.rec_time, st.rec_frame,
-                t.birth_xy_und, t.desc, t.level, t.angle, cand, feat_pt,
-                st.rec_depth, st.rec_depth_valid, pre_anchor,
-                st.last_kf_slot,
-                imu_omg=st.rec_omg, imu_acc=st.rec_acc,
-                imu_dt=st.rec_dt, imu_mask=st.rec_mask,
-            )
-            ns_cur = dataclasses.replace(
-                _cam_pose_to_ns_ext(R1, t1, Rbc, tbc),
-                v=st.ns.v, bg=st.ns.bg,
-                ba=st.ns.ba, dbg=st.ns.dbg, dba=st.ns.dba,
-            )
-            m, k1 = m.add_keyframe(
-                ns_cur, st.frame_time, st.frame_id,
-                t.xy_und, t.desc, t.level, t.angle, cand, feat_pt,
-                b.depth, b.depth_valid, pre_cur, k0,
-                imu_omg=st.kf_omg, imu_acc=st.kf_acc,
-                imu_dt=st.kf_dt, imu_mask=st.kf_mask,
-            )
-            m = run_vi_ba(m)
-            ns_k = jax.tree_util.tree_map(lambda a: a[k1], m.kf_ns)
-            Rcw1, tcw1 = _ns_to_cam_pose_ext(ns_k, Rcb, tcb)
-            ring_R = st.ring_R.at[st.rec_frame % RING].set(Ra)
-            ring_t = st.ring_t.at[st.rec_frame % RING].set(ta)
-            ring_f = st.ring_frame.at[st.rec_frame % RING].set(st.rec_frame)
-            ring_R = ring_R.at[st.frame_id % RING].set(Rcw1)
-            ring_t = ring_t.at[st.frame_id % RING].set(tcw1)
-            ring_f = ring_f.at[st.frame_id % RING].set(st.frame_id)
-            st = dataclasses.replace(
-                st, map=m, ns=ns_k, Rcw=Rcw1, tcw=tcw1,
-                tracks=dataclasses.replace(t, pt_id=feat_pt),
-                last_kf_slot=k1.astype(jnp.int32), last_kf_frame=st.frame_id,
-                n_ref_tracked=jnp.sum(good).astype(jnp.int32),
-                ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
-                state=jnp.asarray(WORKING, jnp.int32),
-                H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
-            )
-            return _zero_kf_accumulators(st)
-
-        def no_commit(op):
-            st, t, rec, b = op
-            return jax.lax.cond(stale, enter_recovery, lambda s, _b: s, st, b)
-
-        return jax.lax.cond(try_ok, commit, no_commit, (st, t, rec, b))
-
-    # ------------------------------------------------------------------
-    def branch_lost(st: VipTrackerState, b: FrameBundle, pre_frame):
-        """Device-resident relocalization for a pre-VIO-init loss
-        (reference: Tracking::Relocalisation, src/Tracking.cc:2373-2534;
-        post-init losses go through branch_recovery instead). Same
-        design as device_tracker.branch_lost: fresh detection, BoW
-        retrieval over stored KF vectors, PnP seed + best-candidate-KF
-        seed, both refined by the pose+local-map solve."""
-        from uvipslam_tpu.loop.reloc import relocalize_frame
-
-        key, sub = jax.random.split(st.key)
-        fresh = refill_tracks(Tracks.empty(cfg.n_tracks), b.img, st.frame_id,
-                              n_features=cfg.n_tracks,
-                              px_distance=cfg.px_distance)
-        fresh = refresh_descriptors(fresh, b.img)
-        fresh = undistort(fresh)
-
-        R0, t0, pt_id, n_pnp, top_kfs = relocalize_frame(
-            fresh, st.map, sub, cam.fx, cam.fy, cam.cx, cam.cy)
-        fresh = dataclasses.replace(
-            fresh, pt_id=pt_id,
-            birth_frame=jnp.full_like(fresh.birth_frame, st.frame_id),
-            birth_xy_und=fresh.xy_und,
-        )
-
-        ns_k = jax.tree_util.tree_map(lambda a: a[top_kfs[0]], st.map.kf_ns)
-        Rk, tk = _ns_to_cam_pose(ns_k)
-        use_pnp = n_pnp >= 6
-        Ra = jnp.where(use_pnp, lie.normalize_rotation(R0), Rk)
-        ta = jnp.where(use_pnp, t0, tk)
-
-        # one vmapped solve instantiation for both seeds (compile size)
-        Rb2, tb2, _, n2_, tr2_ = jax.vmap(
-            lambda R0_, t0_: _pose_and_localmap_jit(
-                fresh, st.map, R0_, t0_, cam.fx, cam.fy, cam.cx, cam.cy,
-                scale_sigmas)
-        )(jnp.stack([Ra, Rk]), jnp.stack([ta, tk]))
-        pick = jnp.argmax(n2_)          # ties -> seed A, as before
-        Rb = Rb2[pick]
-        tb = tb2[pick]
-        nb = n2_[pick]
-        trb = jax.tree_util.tree_map(lambda a: a[pick], tr2_)
-
-        ok = nb >= max(cfg.min_tracked, 15)
-
-        def accept(op):
-            st, trb, Rb, tb = op
-            Rcw = lie.normalize_rotation(Rb)
-            ns = _cam_pose_to_ns(Rcw, tb)
-            st = dataclasses.replace(
-                st, tracks=trb, Rcw=Rcw, tcw=tb,
-                ns=dataclasses.replace(
-                    st.ns, p=ns.p, R=ns.R, v=jnp.zeros(3, jnp.float32)),
-                R_vel=jnp.eye(3, dtype=jnp.float32),
-                t_vel=jnp.zeros(3, jnp.float32),
-                H_prior=jnp.eye(15, dtype=jnp.float32) * 1e2,
-                state=jnp.asarray(WORKING, jnp.int32),
-            )
-            return _zero_kf_accumulators(st)
-
-        st2 = jax.lax.cond(ok, accept, lambda op: op[0], (st, trb, Rb, tb))
-        return dataclasses.replace(st2, key=key)
-
-    # ------------------------------------------------------------------
     def step(st: VipTrackerState, b: FrameBundle):
         img = b.img.astype(jnp.float32)
         if cfg.enhance:
@@ -882,19 +431,25 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         b = dataclasses.replace(b, img=img)
         frame_id = st.frame_id + 1
         pyr = tuple(build_flow_pyramid(img, cfg.n_levels_klt))
-        key, sub = jax.random.split(st.key)
+        key, sub_klt, sub_tv, sub_reloc = jax.random.split(st.key, 4)
 
         # ---- inertial accumulation (every frame, every state) ----
-        pre_frame = preintegrate(
-            b.imu_omg, b.imu_acc, b.imu_dt, b.imu_mask,
-            st.ns.bg_total, st.ns.ba_total,
-            cfg.gyr_noise_sd, cfg.acc_noise_sd,
-        )
+        # one batched scan for BOTH running integrals (frame-to-frame at
+        # the posterior bias, since-last-KF at zero bias): the per-sample
+        # scan is latency-bound, so the two integrations ride the same
+        # loop as a batch of two
         z3 = jnp.zeros(3, jnp.float32)
-        preint_kf = preintegrate_continue(
-            st.preint_kf, b.imu_omg, b.imu_acc, b.imu_dt, b.imu_mask, z3, z3,
-            cfg.gyr_noise_sd, cfg.acc_noise_sd,
-        )
+        init2 = jax.tree_util.tree_map(
+            lambda a, b_: jnp.stack([a, b_]),
+            PreintState.zero(dtype=jnp.float32), st.preint_kf)
+        pre2 = jax.vmap(
+            preintegrate_continue,
+            in_axes=(0, None, None, None, None, 0, 0, None, None),
+        )(init2, b.imu_omg, b.imu_acc, b.imu_dt, b.imu_mask,
+          jnp.stack([st.ns.bg_total, z3]), jnp.stack([st.ns.ba_total, z3]),
+          cfg.gyr_noise_sd, cfg.acc_noise_sd)
+        pre_frame = jax.tree_util.tree_map(lambda a: a[0], pre2)
+        preint_kf = jax.tree_util.tree_map(lambda a: a[1], pre2)
         # stash raw samples at offset kf_n (masked scatter)
         Simu = b.imu_dt.shape[0]
         S = st.kf_dt.shape[0]
@@ -924,8 +479,8 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         )
 
         # ---- track propagation ----
-        do_prop = (st.state == INITIALIZING) | (st.state == WORKING) | (
-            st.state == IMU_RELOC)
+        s = st.state
+        do_prop = (s == INITIALIZING) | (s == WORKING) | (s == IMU_RELOC)
 
         def prop(tracks):
             # motion-model pose: IMU prediction post-init, velocity model
@@ -942,24 +497,514 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             guess, guess_ok = _motion_guess_jit(
                 tracks, st.map, Rp, tp, cam.fx, cam.fy, cam.cx, cam.cy)
             return propagate_tracks(
-                tracks, st.pyr_prev, pyr, guess, guess_ok, sub,
+                tracks, st.pyr_prev, pyr, guess, guess_ok, sub_klt,
                 win=cfg.klt_win, iters=cfg.klt_iters, levels=cfg.n_levels_klt,
             )
 
         tracks = jax.lax.cond(do_prop, prop, lambda t: t, st.tracks)
+
+        # ---- SHARED detection stage: refill + descriptor refresh ----
+        # LOST and the recovery-anchor frame restart from an empty table;
+        # NOT_INITIALIZED and WORKING top up dead slots. One ORB+BRIEF
+        # instantiation for all of them.
+        need_fresh = (s == LOST) | ((s == IMU_RELOC) & (st.rec_frame < 0))
+        need_refill = need_fresh | (s == NOT_INITIALIZED) | (s == WORKING)
+        empty = Tracks.empty(cfg.n_tracks)
+        base = jax.tree_util.tree_map(
+            lambda x, y: jnp.where(need_fresh, x, y), empty, tracks)
+
+        def do_refill(tk):
+            tk = refill_tracks(tk, b.img, st.frame_id,
+                               n_features=cfg.n_tracks,
+                               px_distance=cfg.px_distance)
+            return refresh_descriptors(tk, b.img)
+
+        tracks = jax.lax.cond(need_refill, do_refill, lambda tk: tk, base)
+        tracks = undistort(tracks)
+        tracks = refresh_birth(tracks, st.frame_id)
         st = dataclasses.replace(st, tracks=tracks)
 
-        st = jax.lax.switch(
-            st.state,
-            [
-                lambda s, bb, pf: branch_not_initialized(s, bb),
-                lambda s, bb, pf: branch_initializing(s, bb),
-                branch_working,
-                branch_lost,
-                branch_recovery,
-            ],
-            st, b, pre_frame,
+        # ---- SHARED two-view reconstruction (init + recovery re-anchor) --
+        do_tv = (s == INITIALIZING) | ((s == IMU_RELOC) & (st.rec_frame >= 0))
+        anchor_f = jnp.where(s == IMU_RELOC, st.rec_frame, st.init_frame_id)
+        cand_tv = tracks.valid & (tracks.birth_frame == anchor_f)
+
+        def tv_fn():
+            return initialize_two_view(sub_tv, tracks.birth_xy_und,
+                                       tracks.xy_und, cand_tv, cam.K,
+                                       sigma=1.0)
+
+        rec = jax.lax.cond(
+            do_tv, tv_fn,
+            lambda: jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                jax.eval_shape(tv_fn)))
+
+        # ---- SHARED mono pose+local-map solve (mono WORKING + reloc) ----
+        # both consumers run the same 2-seed vmapped instantiation: the
+        # mono motion-model frame duplicates its seed (identical rows,
+        # latency-bound so the duplicate lane is free), relocalization
+        # feeds (PnP seed, best-retrieved-KF seed)
+        run_ml = ((s == WORKING) & ~st.vio_ok) | (s == LOST)
+        Rp_m = mm(st.R_vel, st.Rcw)
+        tp_m = mv(st.R_vel, st.tcw) + st.t_vel
+
+        def reloc_seeds():
+            from uvipslam_tpu.loop.reloc import relocalize_frame
+            R0, t0, pt_id, n_pnp, top_kfs = relocalize_frame(
+                tracks, st.map, sub_reloc, cam.fx, cam.fy, cam.cx, cam.cy)
+            ns_k = jax.tree_util.tree_map(
+                lambda a: a[top_kfs[0]], st.map.kf_ns)
+            Rk, tk = _ns_to_cam_pose(ns_k)
+            use_pnp = n_pnp >= 6
+            Ra_ = jnp.where(use_pnp, lie.normalize_rotation(R0), Rk)
+            ta_ = jnp.where(use_pnp, t0, tk)
+            return Ra_, ta_, Rk, tk, pt_id
+
+        Ra_ml, ta_ml, Rb_ml, tb_ml, ptid_ml = jax.lax.cond(
+            s == LOST, reloc_seeds,
+            lambda: (Rp_m, tp_m, Rp_m, tp_m, tracks.pt_id))
+        tracks_ml = dataclasses.replace(tracks, pt_id=ptid_ml)
+
+        def ml_fn():
+            return jax.vmap(
+                lambda R0_, t0_: _pose_and_localmap_jit(
+                    tracks_ml, st.map, R0_, t0_, cam.fx, cam.fy, cam.cx,
+                    cam.cy, scale_sigmas)
+            )(jnp.stack([Ra_ml, Rb_ml]), jnp.stack([ta_ml, tb_ml]))
+
+        ml = jax.lax.cond(
+            run_ml, ml_fn,
+            lambda: jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                jax.eval_shape(ml_fn)))
+        R_ml2, t_ml2, _, n_ml2, tr_ml2 = ml
+        pick = jnp.argmax(n_ml2)
+        R_ml = R_ml2[pick]
+        t_ml = t_ml2[pick]
+        n_ml = n_ml2[pick]
+        tr_ml = jax.tree_util.tree_map(lambda a: a[pick], tr_ml2)
+
+        # --------------------------------------------------------------
+        # state branches (cheap): return (st, ctl flags)
+        # --------------------------------------------------------------
+        def branch_not_initialized(st):
+            t = st.tracks
+            n = jnp.sum(t.valid)
+            go = n >= cfg.min_init_tracks
+            t = dataclasses.replace(
+                t,
+                birth_frame=jnp.where(
+                    go, jnp.full_like(t.birth_frame, st.frame_id),
+                    t.birth_frame),
+                birth_xy_und=jnp.where(go, t.xy_und, t.birth_xy_und),
+            )
+            st = dataclasses.replace(
+                st, tracks=t,
+                state=jnp.where(go, INITIALIZING,
+                                NOT_INITIALIZED).astype(jnp.int32),
+                init_frame_id=jnp.where(go, st.frame_id, st.init_frame_id),
+                init_time=jnp.where(go, st.frame_time, st.init_time),
+            )
+            return _zero_kf_accumulators(st), no_ctl()
+
+        def branch_initializing(st):
+            t = st.tracks
+            enough = jnp.sum(cand_tv) >= cfg.min_init_tracks // 2
+            ok = rec["ok"] & enough
+
+            def commit(st):
+                good = rec["good"]
+                z = rec["points"][:, 2]
+                med = jnp.nan_to_num(
+                    jnp.nanmedian(jnp.where(good, z, jnp.nan)), nan=1.0)
+                scale = 1.0 / jnp.maximum(med, 1e-6)
+                pts3 = rec["points"] * scale
+                R, tvec = rec["R"], rec["t"] * scale
+
+                m = st.map
+                ns0 = _cam_pose_to_ns(jnp.eye(3, dtype=jnp.float32),
+                                      jnp.zeros(3, jnp.float32))
+                ns1 = _cam_pose_to_ns(R, tvec)
+                normals = pts3 / jnp.maximum(
+                    jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9)
+                dist = jnp.linalg.norm(pts3, axis=-1)
+                m, ids = m.add_points(pts3, t.desc, normals, dist / 2.0,
+                                      dist * 2.0, jnp.asarray(0),
+                                      st.frame_id, good)
+                feat_pt = jnp.where(good, ids, -1)
+                zp = PreintState.zero(dtype=jnp.float32)
+                m, k0 = m.add_keyframe(
+                    ns0, st.init_time, st.init_frame_id,
+                    t.birth_xy_und, t.desc, t.level, t.angle, cand_tv,
+                    feat_pt, jnp.asarray(0.0), jnp.asarray(False), zp,
+                    jnp.asarray(-1),
+                )
+                m, k1 = m.add_keyframe(
+                    ns1, st.frame_time, st.frame_id,
+                    t.xy_und, t.desc, t.level, t.angle, cand_tv, feat_pt,
+                    b.depth, b.depth_valid, zp, k0,
+                )
+                t2 = dataclasses.replace(t, pt_id=jnp.where(good, feat_pt, -1))
+                ring_R = st.ring_R.at[st.init_frame_id % RING].set(
+                    jnp.eye(3, dtype=jnp.float32))
+                ring_t = st.ring_t.at[st.init_frame_id % RING].set(
+                    jnp.zeros(3, jnp.float32))
+                ring_f = st.ring_frame.at[st.init_frame_id % RING].set(
+                    st.init_frame_id)
+                st = dataclasses.replace(
+                    st, tracks=t2, map=m,
+                    R_vel=jnp.eye(3), t_vel=jnp.zeros(3),
+                    ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
+                )
+                # pose adoption, mono BA, WORKING transition: stage D
+                return st, dict(want_kf=ZB, want_ba=jnp.asarray(True),
+                                adopt=k1.astype(jnp.int32), want_hyg=ZB,
+                                want_trigger=ZB)
+
+            def keep(st):
+                n = jnp.sum(cand_tv)
+                stale = (n < cfg.min_init_tracks // 2) | (
+                    st.frame_id - st.init_frame_id > 30)
+                return dataclasses.replace(
+                    st, state=jnp.where(stale, NOT_INITIALIZED,
+                                        INITIALIZING).astype(jnp.int32),
+                ), no_ctl()
+
+            return jax.lax.cond(ok, commit, keep, st)
+
+        # ---- WORKING branch, mono form (pre-VIO-init) ----
+        def mono_working(st):
+            def lost(st):
+                return dataclasses.replace(
+                    st, state=jnp.asarray(LOST, jnp.int32)), no_ctl()
+
+            def keep_working(st):
+                R_prev, t_prev = st.Rcw, st.tcw
+                Rcw = lie.normalize_rotation(R_ml)
+                Rinv, tinv = lie.se3_inverse(R_prev, t_prev)
+                R_vel, t_vel = lie.se3_compose(R_ml, t_ml, Rinv, tinv)
+                R_vel = lie.normalize_rotation(R_vel)
+                st = dataclasses.replace(st, tracks=tr_ml, Rcw=Rcw, tcw=t_ml,
+                                         R_vel=R_vel, t_vel=t_vel)
+                since = st.frame_id - st.last_kf_frame
+                need_kf = (since >= cfg.kf_min_interval) & (
+                    (since >= cfg.kf_max_interval)
+                    | (n_ml < cfg.kf_track_ratio *
+                       jnp.maximum(st.n_ref_tracked, 1))
+                )
+                return st, dict(
+                    want_kf=need_kf, want_ba=need_kf, adopt=ZI,
+                    want_hyg=need_kf if cfg.map_hygiene else ZB,
+                    want_trigger=need_kf)
+
+            return jax.lax.cond(n_ml < cfg.min_tracked, lost, keep_working, st)
+
+        # ---- WORKING branch, VI(P) form (post-init) ----
+        def vi_working(st):
+            depth_info = jnp.where(b.depth_valid, depth_info_cfg, 0.0)
+            g = gravity_w
+            dt = pre_frame.dt
+            ns_pred = dataclasses.replace(
+                st.ns,
+                p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt +
+                mv(st.ns.R, pre_frame.dP),
+                v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
+                R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
+            )
+            ns_opt, inlier, n_in, tracks2, H_post = _vi_track_jit(
+                st.tracks, st.map, ns_pred, st.ns, pre_frame, gravity_w,
+                cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
+                cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
+                b.depth, depth_info, st.H_prior, Rcb, tcb,
+            )
+
+            def to_recovery(st):
+                # pressure-z override on the dead-reckoned state; the
+                # recovery anchor (fresh detection + stash) is captured on
+                # the NEXT frame by branch_recovery (rec_frame = -1
+                # sentinel), so the heavy detection stage stays shared
+                p_over = jnp.where(
+                    b.depth_valid, ns_pred.p.at[2].set(b.depth), ns_pred.p)
+                ns_dr = dataclasses.replace(ns_pred, p=p_over)
+                Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
+                st = dataclasses.replace(
+                    st, ns=ns_dr, Rcw=Rcw, tcw=tcw,
+                    state=jnp.asarray(IMU_RELOC, jnp.int32),
+                    rec_frame=jnp.asarray(-1, jnp.int32),
+                    H_prior=H_PRIOR0,
+                )
+                return st, no_ctl()
+
+            def keep_working(st):
+                tr = H_post.trace() / 15.0
+                H_new = (H_post + jnp.eye(15, dtype=jnp.float32) * 1e-3) * \
+                    jnp.minimum(1.0, 1e6 / jnp.maximum(tr, 1e-6))
+                Rcw, tcw = _ns_to_cam_pose_ext(ns_opt, Rcb, tcb)
+                st = dataclasses.replace(st, tracks=tracks2, ns=ns_opt,
+                                         Rcw=Rcw, tcw=tcw, H_prior=H_new)
+                since = st.frame_id - st.last_kf_frame
+                need_kf = (since >= cfg.kf_min_interval) & (
+                    (since >= cfg.kf_max_interval)
+                    | (n_in < cfg.kf_track_ratio *
+                       jnp.maximum(st.n_ref_tracked, 1))
+                )
+                return st, dict(
+                    want_kf=need_kf, want_ba=need_kf, adopt=ZI,
+                    want_hyg=need_kf if cfg.map_hygiene else ZB,
+                    want_trigger=ZB)
+
+            return jax.lax.cond(n_in < cfg.min_tracked, to_recovery,
+                                keep_working, st)
+
+        def branch_working(st):
+            return jax.lax.cond(st.vio_ok, vi_working, mono_working, st)
+
+        # ---- LOST: device relocalization for a pre-VIO-init loss ----
+        # (reference: Tracking::Relocalisation, src/Tracking.cc:2373-2534;
+        # post-init losses go through branch_recovery instead). Fresh
+        # detection came from the shared stage; BoW retrieval + PnP seed +
+        # best-candidate-KF seed were computed by reloc_seeds; both seeds
+        # were refined by the shared 2-seed pose+local-map solve.
+        def branch_lost(st):
+            ok = n_ml >= max(cfg.min_tracked, 15)
+
+            def accept(st):
+                Rcw = lie.normalize_rotation(R_ml)
+                ns = _cam_pose_to_ns(Rcw, t_ml)
+                st = dataclasses.replace(
+                    st, tracks=tr_ml, Rcw=Rcw, tcw=t_ml,
+                    ns=dataclasses.replace(
+                        st.ns, p=ns.p, R=ns.R, v=jnp.zeros(3, jnp.float32)),
+                    R_vel=jnp.eye(3, dtype=jnp.float32),
+                    t_vel=jnp.zeros(3, jnp.float32),
+                    H_prior=H_PRIOR0,
+                    state=jnp.asarray(WORKING, jnp.int32),
+                )
+                return _zero_kf_accumulators(st)
+
+            return jax.lax.cond(ok, accept, lambda x: x, st), no_ctl()
+
+        # ---- sustained-failure recovery (reference: src/Tracking.cc:
+        # 594-613, 1529-1834 — IMU dead-reckoning + fresh sub-map
+        # re-anchor) ----
+        def branch_recovery(st):
+            # dead-reckon + pressure-z override (every recovery frame)
+            g = gravity_w
+            dt = pre_frame.dt
+            ns_pred = dataclasses.replace(
+                st.ns,
+                p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt +
+                mv(st.ns.R, pre_frame.dP),
+                v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
+                R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
+            )
+            p_over = jnp.where(b.depth_valid, ns_pred.p.at[2].set(b.depth),
+                               ns_pred.p)
+            ns_dr = dataclasses.replace(ns_pred, p=p_over)
+            Rcw, tcw = _ns_to_cam_pose_ext(ns_dr, Rcb, tcb)
+            st = dataclasses.replace(st, ns=ns_dr, Rcw=Rcw, tcw=tcw)
+            t = st.tracks
+
+            def capture(st):
+                # first recovery frame: adopt the fresh detection (made by
+                # the shared stage) as the re-anchor
+                t2 = dataclasses.replace(
+                    t,
+                    birth_frame=jnp.full_like(t.birth_frame, st.frame_id),
+                    birth_xy_und=t.xy_und,
+                )
+                st = dataclasses.replace(
+                    st, tracks=t2,
+                    rec_ns=st.ns, rec_frame=st.frame_id,
+                    rec_time=st.frame_time,
+                    rec_depth=b.depth, rec_depth_valid=b.depth_valid,
+                    rec_preint=st.preint_kf,
+                    rec_omg=st.kf_omg, rec_acc=st.kf_acc,
+                    rec_dt=st.kf_dt, rec_mask=st.kf_mask,
+                    H_prior=H_PRIOR0,
+                )
+                return _zero_kf_accumulators(st), no_ctl()
+
+            def attempt(st):
+                since = st.frame_id - st.rec_frame
+                n_live = jnp.sum(t.valid)
+                stale = (since >= cfg.recovery_max_frames) | (
+                    n_live < cfg.min_init_tracks // 2)
+
+                Ra = _ns_to_cam_pose_ext(st.rec_ns, Rcb, tcb)
+                Ra, ta = Ra
+                R_rel_imu = mm(st.Rcw, jnp.swapaxes(Ra, -1, -2))
+                t_rel_imu = st.tcw - mv(R_rel_imu, ta)
+                baseline = jnp.linalg.norm(t_rel_imu)
+                try_ok = (~stale & (since >= cfg.recovery_min_frames)
+                          & (baseline >= cfg.recovery_min_baseline)
+                          & rec["ok"])
+
+                def commit(st):
+                    good = rec["good"]
+                    s_ = baseline
+                    pts_c = rec["points"] * s_
+                    Raw = jnp.swapaxes(Ra, -1, -2)
+                    pts_w = mv(Raw, pts_c - ta)
+                    R1 = mm(rec["R"], Ra)
+                    t1 = rec["t"] * s_ + mv(rec["R"], ta)
+
+                    m = st.map
+                    k0_slot = m.n_kf
+                    normals = pts_w - mv(Raw, -ta)
+                    dist = jnp.linalg.norm(normals, axis=-1)
+                    normals = normals / jnp.maximum(dist[:, None], 1e-9)
+                    m, ids = m.add_points(pts_w, t.desc, normals, dist / 2.0,
+                                          dist * 2.0, k0_slot, st.frame_id,
+                                          good)
+                    feat_pt = jnp.where(good, ids, -1)
+                    # re-integrate BOTH stored windows at the current bias
+                    # linearization point — one batched scan
+                    pre_2 = jax.vmap(
+                        preintegrate,
+                        in_axes=(0, 0, 0, 0, None, None, None, None),
+                    )(jnp.stack([st.rec_omg, st.kf_omg]),
+                      jnp.stack([st.rec_acc, st.kf_acc]),
+                      jnp.stack([st.rec_dt, st.kf_dt]),
+                      jnp.stack([st.rec_mask, st.kf_mask]),
+                      st.ns.bg, st.ns.ba,
+                      cfg.gyr_noise_sd, cfg.acc_noise_sd)
+                    pre_anchor = jax.tree_util.tree_map(
+                        lambda a: a[0], pre_2)
+                    pre_cur = jax.tree_util.tree_map(lambda a: a[1], pre_2)
+                    m, k0 = m.add_keyframe(
+                        st.rec_ns, st.rec_time, st.rec_frame,
+                        t.birth_xy_und, t.desc, t.level, t.angle, cand_tv,
+                        feat_pt, st.rec_depth, st.rec_depth_valid,
+                        pre_anchor, st.last_kf_slot,
+                        imu_omg=st.rec_omg, imu_acc=st.rec_acc,
+                        imu_dt=st.rec_dt, imu_mask=st.rec_mask,
+                    )
+                    ns_cur = dataclasses.replace(
+                        _cam_pose_to_ns_ext(R1, t1, Rbc, tbc),
+                        v=st.ns.v, bg=st.ns.bg,
+                        ba=st.ns.ba, dbg=st.ns.dbg, dba=st.ns.dba,
+                    )
+                    m, k1 = m.add_keyframe(
+                        ns_cur, st.frame_time, st.frame_id,
+                        t.xy_und, t.desc, t.level, t.angle, cand_tv,
+                        feat_pt, b.depth, b.depth_valid, pre_cur, k0,
+                        imu_omg=st.kf_omg, imu_acc=st.kf_acc,
+                        imu_dt=st.kf_dt, imu_mask=st.kf_mask,
+                    )
+                    ring_R = st.ring_R.at[st.rec_frame % RING].set(Ra)
+                    ring_t = st.ring_t.at[st.rec_frame % RING].set(ta)
+                    ring_f = st.ring_frame.at[st.rec_frame % RING].set(
+                        st.rec_frame)
+                    st = dataclasses.replace(
+                        st, map=m,
+                        tracks=dataclasses.replace(t, pt_id=feat_pt),
+                        ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
+                    )
+                    # VI BA + k1 adoption + WORKING transition: stage D
+                    return st, dict(want_kf=ZB, want_ba=jnp.asarray(True),
+                                    adopt=k1.astype(jnp.int32), want_hyg=ZB,
+                                    want_trigger=ZB)
+
+                def no_commit(st):
+                    # stale: re-anchor on the next frame (fresh detection
+                    # via the shared stage)
+                    st = dataclasses.replace(
+                        st, rec_frame=jnp.where(
+                            stale, jnp.asarray(-1, jnp.int32), st.rec_frame))
+                    return st, no_ctl()
+
+                return jax.lax.cond(try_ok, commit, no_commit, st)
+
+            return jax.lax.cond(st.rec_frame < 0, capture, attempt, st)
+
+        st, ctl = jax.lax.switch(
+            s,
+            [branch_not_initialized, branch_initializing, branch_working,
+             branch_lost, branch_recovery],
+            st,
         )
+
+        # ---- stage C: unified keyframe creation (mono + VI forms) ----
+        def create_kf(op):
+            st, ctl = op
+            t = st.tracks
+            m, t = _triangulate_new_jit(
+                st.map, t, st.ring_R, st.ring_t, st.ring_frame,
+                st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
+                st.frame_id, st.last_kf_slot,
+            )
+            # VI keyframes store the window re-integrated at the current
+            # bias linearization point (see vip_tracker._create_keyframe);
+            # mono keyframes store the running zero-bias integral
+            pre_vi = preintegrate(
+                st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
+                st.ns.bg, st.ns.ba,
+                cfg.gyr_noise_sd, cfg.acc_noise_sd,
+            )
+            pre_store = jax.tree_util.tree_map(
+                lambda a_, b_: jnp.where(st.vio_ok, a_, b_),
+                pre_vi, st.preint_kf)
+            ns_store = jax.tree_util.tree_map(
+                lambda a_, b_: jnp.where(st.vio_ok, a_, b_),
+                st.ns, _cam_pose_to_ns(st.Rcw, st.tcw))
+            m, k = m.add_keyframe(
+                ns_store, st.frame_time, st.frame_id,
+                t.xy_und, t.desc, t.level, t.angle, t.valid, t.pt_id,
+                b.depth, b.depth_valid, pre_store, st.last_kf_slot,
+                imu_omg=st.kf_omg, imu_acc=st.kf_acc,
+                imu_dt=st.kf_dt, imu_mask=st.kf_mask,
+            )
+            st = dataclasses.replace(st, tracks=t, map=m)
+            return st, dict(ctl, adopt=k.astype(jnp.int32))
+
+        st, ctl = jax.lax.cond(ctl["want_kf"], create_kf, lambda op: op,
+                               (st, ctl))
+
+        # ---- stage D: ONE windowed BA (mono xor VI) + pose adoption +
+        # hygiene + WORKING transition + VIO-init trigger ----
+        def do_ba(op):
+            st, ctl = op
+            m = jax.lax.cond(st.vio_ok, run_vi_ba, run_mono_ba, st.map)
+            k = ctl["adopt"]
+            ns_k = jax.tree_util.tree_map(lambda a: a[k], m.kf_ns)
+            Rcw_v, tcw_v = _ns_to_cam_pose_ext(ns_k, Rcb, tcb)
+            Rcw_m, tcw_m = _ns_to_cam_pose(ns_k)
+            Rcw = jnp.where(st.vio_ok, Rcw_v, Rcw_m)
+            tcw = jnp.where(st.vio_ok, tcw_v, tcw_m)
+
+            t = st.tracks
+
+            def hyg(op2):
+                m2, t2 = op2
+                return device_hygiene(m2, t2, st.frame_id, Rcw, tcw,
+                                      cam.fx, cam.fy, cam.cx, cam.cy)
+
+            if cfg.map_hygiene:
+                m, t = jax.lax.cond(ctl["want_hyg"], hyg, lambda o: o, (m, t))
+            ns_new = jax.tree_util.tree_map(
+                lambda a_, b_: jnp.where(st.vio_ok, a_, b_), ns_k, st.ns)
+            st = dataclasses.replace(
+                st, tracks=t, map=m, ns=ns_new, Rcw=Rcw, tcw=tcw,
+                last_kf_slot=k.astype(jnp.int32),
+                last_kf_frame=st.frame_id,
+                n_ref_tracked=jnp.sum(
+                    t.valid & (t.pt_id >= 0)).astype(jnp.int32),
+                H_prior=H_PRIOR0,
+                state=jnp.asarray(WORKING, jnp.int32),
+            )
+            st = _zero_kf_accumulators(st)
+            # VIO init trigger (reference: TryInitVIO every mapper cycle
+            # until success, src/LocalMapping.cc:819-842)
+            lo = jnp.maximum(m.n_kf - 1, 0)
+            t_span = m.kf_time[lo] - m.kf_time[0]
+            trigger = (ctl["want_trigger"] & ~st.vio_ok
+                       & (m.n_kf >= cfg.vio_init_min_kfs)
+                       & (t_span >= cfg.vio_init_min_time))
+            return jax.lax.cond(trigger, try_init_vio, lambda x: x, st)
+
+        st = jax.lax.cond(ctl["want_ba"], do_ba, lambda op: op[0], (st, ctl))
 
         # pose ring update when WORKING
         working = st.state == WORKING
@@ -967,10 +1012,13 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         st = dataclasses.replace(
             st,
             pyr_prev=pyr,
-            ring_R=jnp.where(working, st.ring_R.at[slot].set(st.Rcw), st.ring_R),
-            ring_t=jnp.where(working, st.ring_t.at[slot].set(st.tcw), st.ring_t),
+            ring_R=jnp.where(working, st.ring_R.at[slot].set(st.Rcw),
+                             st.ring_R),
+            ring_t=jnp.where(working, st.ring_t.at[slot].set(st.tcw),
+                             st.ring_t),
             ring_frame=jnp.where(
-                working, st.ring_frame.at[slot].set(frame_id), st.ring_frame),
+                working, st.ring_frame.at[slot].set(frame_id),
+                st.ring_frame),
         )
         out = VipStepOut(Rcw=st.Rcw, tcw=st.tcw, p_w=st.ns.p,
                          state=st.state, vio_ok=st.vio_ok)

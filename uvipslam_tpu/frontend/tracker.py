@@ -562,13 +562,13 @@ def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
     pw = m.pt_xyz[pid]
     inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
 
-    # 2x5 instead of the reference's 4x10 LM schedule: each LM step is a
+    # 2x3 instead of the reference's 4x10 LM schedule: each LM step is a
     # SERIAL device round (the top cost of a WORKING frame); the second
     # solve below refines from this one's output, so the combined budget
     # matches the reference's accuracy (ATE-gated by the e2e tests)
     R1, t1, inl1, n1 = pose_optimization_se3(
         Rp, tp, pw, tracks.xy_und, has_pt & m.pt_valid[pid], inv_sig,
-        fx, fy, cx, cy, rounds=2, iters=5,
+        fx, fy, cx, cy, rounds=2, iters=4,
     )
 
     # --- local map search (SearchByProjection vs local points) ---
@@ -605,7 +605,7 @@ def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
     R2, t2, inl2, n2 = pose_optimization_se3(
         R1, t1, pw2, tracks2.xy_und, has2 & m.pt_valid[pid2],
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
-        fx, fy, cx, cy, rounds=2, iters=4,
+        fx, fy, cx, cy, rounds=2, iters=3,
     )
     # Associations of per-frame outliers are KEPT (the reference keeps
     # mvpMapPoints and only flags mvbOutlier for the current solve) —
@@ -684,7 +684,8 @@ def _triangulate_new_jit(m: MapState, t: Tracks, ring_R, ring_t, ring_frame,
     return m2, t2
 
 
-W_KF_BA = 16  # BA window: pose-block size is independent of kf capacity
+W_KF_BA = 12  # BA window: 10 KFs + boundary like the reference (yaml:62),
+# rounded to 12 slots; pose-block size is independent of kf capacity
 
 
 @jax.jit

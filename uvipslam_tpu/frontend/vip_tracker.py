@@ -976,7 +976,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
         has_pt & m.pt_valid[pid], inv_sig, gravity, Rcb, tcb,
         fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_meas=depth, depth_info=depth_info,
-        use_depth=True, rounds=2, iters=6,
+        use_depth=True, rounds=2, iters=3,
     )
 
     # local-map re-association at the refined pose

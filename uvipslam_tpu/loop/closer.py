@@ -104,14 +104,25 @@ def max_covisible_haloc(m: MapState, query_kf: int, covis_th: int = 15):
 
 
 def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
-                      fx, fy, cx, cy, min_inliers: int = 12,
-                      Rcb=None, tcb=None):
+                      fx, fy, cx, cy, min_inliers: int = 20,
+                      min_total: int = 40, Rcb=None, tcb=None,
+                      loop_group=None):
     """Match landmarks between two keyframes and solve the relative Sim3
     (reference: ComputeSim3 — SearchByBoW matches -> Sim3Solver RANSAC ->
-    OptimizeSim3 -> Sim3-guided projection search extends the matches ->
-    final >= `min_inliers` acceptance, src/LoopClosing.cc:364-537).
-    Returns (ok, s, R, t, n) with (s, R, t) mapping kf_b-camera coords to
-    kf_a-camera coords."""
+    OptimizeSim3 with the ``nInliers >= 20`` acceptance ->
+    SearchByProjection(Scw) against the loop NEIGHBORHOOD's landmarks
+    with the ``nTotalMatches >= 40`` acceptance, src/LoopClosing.cc:
+    437-537). Both gates are load-bearing: a diagnosed false closure on
+    repetitive synthetic texture scored exactly 12 optimizer inliers —
+    under the reference's 20/40 it never fires.
+
+    loop_group: optional iterable of KF slots forming kf_b's covisibility
+    neighborhood (reference: mvpLoopMapPoints gathered from
+    pLoopKF->GetVectorCovisibleKeyFrames, :495-505). Defaults to
+    {kf_b} alone.
+
+    Returns (ok, s, R, t, n_in, n_total) with (s, R, t) mapping
+    kf_b-camera coords to kf_a-camera coords."""
     da, va = m.kf_feat_desc[kf_a], m.kf_feat_valid[kf_a] & (m.kf_feat_pt[kf_a] >= 0)
     db, vb = m.kf_feat_desc[kf_b], m.kf_feat_valid[kf_b] & (m.kf_feat_pt[kf_b] >= 0)
     # appearance matches feed RANSAC directly — no mutual cross-check and
@@ -183,15 +194,41 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
     # adopt the extended solve only if it strictly gains support — on
     # ambiguous content the window search can add wrong matches that
     # drag the refinement off
+    sup = inl & good
     if int(n2) > int(n_in):
         s, R, t, n_in = s2, R2, t2, n2
+        sup = inl2 & good_u
     # scale sanity: a genuine metric-map loop has s near 1 (both sides of
     # the loop share the VIO/pressure scale); wildly scaled "solutions"
     # are repetitive-texture mirages (observed s up to 13 on spurious
     # candidates that still collect a few coincidental inliers)
     s_sane = bool(jnp.isfinite(s)) and 1.0 / 3.0 < float(s) < 3.0
-    ok = (int(n_in) >= min_inliers) and s_sane
-    return ok, s, R, t, int(n_in)
+    if not (int(n_in) >= min_inliers and s_sane):
+        return False, s, R, t, int(n_in), 0
+
+    # --- final acceptance: total support against the loop
+    # neighborhood's landmarks (reference: SearchByProjection(Scw,
+    # mvpLoopMapPoints, 10) fills the entries the Sim3 inlier set left
+    # vacant; accept only if nTotalMatches >= 40, LoopClosing.cc:512-537).
+    # Any world point X maps into kf_a's CORRECTED camera via kf_b:
+    # X_a = s R (Rb X + tb) + t — so the search covers the whole group's
+    # landmark set, not just kf_b's own observations.
+    group = [int(kf_b)] if loop_group is None else [int(g) for g in loop_group]
+    kf_mask = jnp.zeros((m.kf_cap,), bool).at[jnp.asarray(group, jnp.int32)].set(True)
+    pt_mask = m.points_seen_by(kf_mask) & m.pt_valid
+    Xg = s * mv(R, mv(Rb, m.pt_xyz) + tb) + t
+    zg = Xg[:, 2]
+    zgs = jnp.where(jnp.abs(zg) < 1e-6, 1e-6, zg)
+    proj_g = jnp.stack([fx * Xg[:, 0] / zgs + cx,
+                        fy * Xg[:, 1] / zgs + cy], -1)
+    pair_g = hamming.window_mask(m.kf_feat_xy[kf_a], proj_g, 10.0) \
+        & (zg > 0.1)[None, :] & pt_mask[None, :]
+    _, _, ok_g = hamming.match_best(
+        da, m.pt_desc, va, pt_mask, pair_mask=pair_g,
+        max_dist=hamming.TH_LOW, ratio=1.0)
+    n_total = int(jnp.sum(sup | ok_g))
+    ok = n_total >= min_total
+    return ok, s, R, t, int(n_in), n_total
 
 
 COVIS_EDGE_W = 100    # covisibility-edge weight threshold (ref :2570 minFeat)
@@ -311,12 +348,18 @@ class LoopCloser:
 
     def __init__(self, fx, fy, cx, cy, consistency_th: int = 3,
                  covis_th: int = 15, min_gap: int = 10,
-                 min_sim3_inliers: int = 12, seed: int = 11):
+                 min_sim3_inliers: int = 20,
+                 min_total_matches: int | None = None, seed: int = 11):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.consistency_th = consistency_th
         self.covis_th = covis_th
         self.min_gap = min_gap
         self.min_sim3_inliers = min_sim3_inliers
+        # None -> the reference's operating ratio: 40 total matches at
+        # its 400-feature Aqualoc budget (LoopClosing.cc:537,
+        # Settings_VI_Aqualoc_harbor.yaml:67) = 10% of the per-frame
+        # feature budget, floored for tiny test configs
+        self.min_total_matches = min_total_matches
         self.key = jax.random.PRNGKey(seed)
         # body-camera extrinsics (identity unless the VIP tracker sets
         # them); used to express body NavStates as camera poses
@@ -489,12 +532,15 @@ class LoopCloser:
             return m, status
 
         # --- Sim3 verification on accepted candidates ---
+        mt = (self.min_total_matches if self.min_total_matches is not None
+              else max(15, round(0.1 * m.n_feat)))
         for c in accepted:
-            ok, s, R, t, n_in = compute_loop_sim3(
+            grp = sorted(self._covis_group(m, int(c)))
+            ok, s, R, t, n_in, n_total = compute_loop_sim3(
                 m, query_kf, c, self._split(),
                 self.fx, self.fy, self.cx, self.cy,
-                min_inliers=self.min_sim3_inliers,
-                Rcb=self.Rcb, tcb=self.tcb,
+                min_inliers=self.min_sim3_inliers, min_total=mt,
+                Rcb=self.Rcb, tcb=self.tcb, loop_group=grp,
             )
             if not ok:
                 continue
@@ -518,6 +564,6 @@ class LoopCloser:
                 for lc_ in self.kf_cluster_ids.get(int(c), []):
                     self.cluster_lc_found.append((qc, lc_))
             status.update(loop=True, loop_kf=int(c), sim3_inliers=int(n_in),
-                          scale=float(s))
+                          total_matches=int(n_total), scale=float(s))
             break
         return m, status
