@@ -198,3 +198,34 @@ class TestNavState:
         assert ns.R.shape == (10, 3, 3)
         flat, _ = jax.tree_util.tree_flatten(ns)
         assert len(flat) == 7
+
+
+class TestBiasCorrect:
+    def test_first_order_matches_reintegration(self):
+        """bias_correct must match a true re-integration at the shifted
+        bias to first order (Forster RSS'15 eq. 44; the reference's g2o
+        edges rely on the same Jacobian correction rather than
+        re-integrating, src/IMU/g2otypes.cpp:8-213)."""
+        from uvipslam_tpu.core.preintegration import bias_correct
+
+        rs = np.random.RandomState(4)
+        T = 40
+        omg = jnp.asarray(rs.uniform(-0.5, 0.5, (T, 3)))
+        acc = jnp.asarray(rs.uniform(-2, 2, (T, 3)) + [0, 0, 9.81])
+        dts = jnp.full((T,), 0.005)
+        msk = jnp.ones((T,))
+
+        st0 = preintegrate(omg, acc, dts, msk, jnp.zeros(3), jnp.zeros(3),
+                           0.01, 0.1)
+        bg = jnp.asarray([0.004, -0.006, 0.003])
+        ba = jnp.asarray([0.02, -0.01, 0.015])
+        st_true = preintegrate(omg, acc, dts, msk, bg, ba, 0.01, 0.1)
+        st_corr = bias_correct(st0, bg, ba)
+
+        # first-order error is O(|b|^2 * dt^2) — far below these tols
+        np.testing.assert_allclose(st_corr.dP, st_true.dP, atol=2e-5)
+        np.testing.assert_allclose(st_corr.dV, st_true.dV, atol=2e-5)
+        np.testing.assert_allclose(st_corr.dR, st_true.dR, atol=2e-5)
+        # Jacobians/cov/dt carried through unchanged
+        np.testing.assert_allclose(st_corr.dt, st0.dt)
+        np.testing.assert_allclose(st_corr.cov, st0.cov)

@@ -202,3 +202,22 @@ def preintegrate_continue(
         body, state, (omegas, accs, dts.astype(dtype), mask.astype(dtype))
     )
     return out
+
+
+def bias_correct(st: PreintState, dbg: jax.Array, dba: jax.Array) -> PreintState:
+    """Re-linearize a preintegrated state at a shifted bias using the
+    carried bias Jacobians — first-order in (dbg, dba), O(1) instead of
+    re-running the T-step integration scan.
+
+    This is the reference's own convention: the g2o edges never
+    re-integrate on bias updates, they evaluate residuals through the
+    J_*_bg/ba Jacobians (reference: src/IMU/g2otypes.cpp:8-213,
+    IMUPreintegrator.h bias-Jacobian accessors; Forster RSS'15 eq. 44).
+    dbg/dba = (new bias) - (bias the window was integrated at). The
+    Jacobians and covariance are bias-independent to first order and are
+    kept, so downstream solvers can keep correcting around the new
+    linearization point."""
+    dR = mm(st.dR, lie.so3_exp(mv(st.J_R_bg, dbg)))
+    dV = st.dV + mv(st.J_V_bg, dbg) + mv(st.J_V_ba, dba)
+    dP = st.dP + mv(st.J_P_bg, dbg) + mv(st.J_P_ba, dba)
+    return dataclasses.replace(st, dR=dR, dV=dV, dP=dP)

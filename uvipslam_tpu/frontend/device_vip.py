@@ -38,6 +38,7 @@ from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
 from uvipslam_tpu.core.preintegration import (
     PreintState,
+    bias_correct,
     preintegrate,
     preintegrate_continue,
 )
@@ -272,8 +273,11 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         # 0. full-map visual BA first: windowed BA lets mono scale drift
         # across the init window, breaking the init solves (see
         # vip_tracker._maybe_init_vio)
+        # init happens on a young map (slots fill in insertion order), so
+        # the dense pose block is bounded at 24 slots instead of kf_cap
         m = global_ba_visual(st.map, cam.fx, cam.fy, cam.cx, cam.cy,
-                             scale_sigmas)
+                             scale_sigmas, kf_window=min(24, kf_cap),
+                             n_iters=5, p_active=2048)
         # 1. gyro bias over consecutive KF pairs (BODY rotations:
         # pre-init the table stores camera poses, Rwb = Rwc Rcb)
         pair_mask = m.kf_valid & (m.kf_prev >= 0)
@@ -935,14 +939,15 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 st.Rcw, st.tcw, cam.fx, cam.fy, cam.cx, cam.cy,
                 st.frame_id, st.last_kf_slot,
             )
-            # VI keyframes store the window re-integrated at the current
-            # bias linearization point (see vip_tracker._create_keyframe);
-            # mono keyframes store the running zero-bias integral
-            pre_vi = preintegrate(
-                st.kf_omg, st.kf_acc, st.kf_dt, st.kf_mask,
-                st.ns.bg, st.ns.ba,
-                cfg.gyr_noise_sd, cfg.acc_noise_sd,
-            )
+            # VI keyframes store the window re-linearized at the current
+            # bias (see vip_tracker._create_keyframe). The running
+            # integral is at zero bias, so shift it with the carried
+            # bias Jacobians — the reference's own convention
+            # (g2otypes.cpp:8-213) and O(1) versus the 256-step
+            # re-integration scan this replaces (measured ~10 ms/KF)
+            # (linearize at the BASE bias bg/ba — the solver edges apply
+            # the remaining dbg/dba correction themselves, factors.py:150)
+            pre_vi = bias_correct(st.preint_kf, st.ns.bg, st.ns.ba)
             pre_store = jax.tree_util.tree_map(
                 lambda a_, b_: jnp.where(st.vio_ok, a_, b_),
                 pre_vi, st.preint_kf)

@@ -58,7 +58,7 @@ class TrackerConfig:
     px_distance: int = 20
     min_init_tracks: int = 100
     min_tracked: int = 20
-    kf_min_interval: int = 3
+    kf_min_interval: int = 4  # reference: min 4 frames between KFs (src/Tracking.cc:108)
     kf_max_interval: int = 15
     kf_track_ratio: float = 0.9
     local_window: int = 8
@@ -605,7 +605,7 @@ def _pose_and_localmap_jit(tracks: Tracks, m: MapState, Rp, tp,
     R2, t2, inl2, n2 = pose_optimization_se3(
         R1, t1, pw2, tracks2.xy_und, has2 & m.pt_valid[pid2],
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
-        fx, fy, cx, cy, rounds=2, iters=3,
+        fx, fy, cx, cy, rounds=2, iters=2,
     )
     # Associations of per-frame outliers are KEPT (the reference keeps
     # mvpMapPoints and only flags mvbOutlier for the current solve) —
@@ -726,7 +726,7 @@ def _local_ba_jit(m: MapState, kf_fixed, fx, fy, cx, cy, scale_sigmas):
         kf_R, kf_t, kf_fixed_w, kf_valid_w,
         m.pt_xyz, m.pt_valid,
         obs_kf, obs_pt, obs_uv, inv_sig, obs_ok,
-        fx, fy, cx, cy, n_iters=3, rounds=2,
+        fx, fy, cx, cy, n_iters=2, rounds=2,
     )
     ns_new = jax.vmap(_cam_pose_to_ns)(Rn, tn)
     # write the window back

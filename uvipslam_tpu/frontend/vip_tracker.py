@@ -1028,7 +1028,9 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     return ns2, inl2, n2, tracks3, H_post
 
 
-W_KF_BA = 16
+W_KF_BA = 12  # 10 KFs + boundary like the reference (yaml:62), rounded to 12
+# slots; the dense pose block is W*15 so the window width is a direct
+# device-time lever (measured ~21 ms/KF at W=16)
 
 
 def _vi_ba_jit(m: MapState, gravity, fx, fy, cx, cy, scale_sigmas,

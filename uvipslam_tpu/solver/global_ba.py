@@ -18,6 +18,7 @@ linearization and relies on the J_*_bg/ba bias Jacobians; re-running the
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -52,26 +53,59 @@ def _writeback(m: MapState, kf_ns2, pts2, obs_in, obs_ok):
     )
 
 
-@jax.jit
-def global_ba_visual(m: MapState, fx, fy, cx, cy, scale_sigmas) -> MapState:
+@functools.partial(
+    jax.jit, static_argnames=("kf_window", "n_iters", "rounds", "p_active"))
+def global_ba_visual(m: MapState, fx, fy, cx, cy, scale_sigmas,
+                     kf_window: int | None = None, n_iters: int = 8,
+                     rounds: int = 2, p_active: int = 4096) -> MapState:
     """Full-map visual-only BA with the first valid keyframe fixed as the
     gauge (reference: BundleAdjustment src/Optimizer.cc:1896 fixes KF id 0).
-    Used after loop closing and for recovery re-initialization."""
-    obs_kf, obs_pt, obs_uv, inv_sig, ok = _all_observations(m, scale_sigmas)
+    Used after loop closing and for recovery re-initialization.
+
+    kf_window: optional static cap — optimize only the FIRST `kf_window`
+    keyframe slots. Keyframes fill slots in insertion order and slot
+    recycling only happens long after VIO init, so the init-time caller
+    (device_vip.try_init_vio) can bound the dense pose block at W*6
+    instead of kf_cap*6 (measured: the full-table form cost 137 ms of a
+    60-frame bench, paid once at init on a map that occupies ~10 slots)."""
+    K_all = m.kf_feat_pt.shape[0]
+    W = K_all if kf_window is None else min(kf_window, K_all)
+    F = m.kf_feat_pt.shape[1]
+    kf_valid_w = m.kf_valid[:W]
+    obs_kf = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, F))
+    obs_pt = m.kf_feat_pt[:W]
+    ok = (obs_pt >= 0) & m.kf_feat_valid[:W] & kf_valid_w[:, None]
+    obs_pt = jnp.clip(obs_pt, 0, m.pt_cap - 1)
+    ok = ok & m.pt_valid[obs_pt]
+    obs_uv = m.kf_feat_xy[:W]
+    lvl = jnp.clip(m.kf_feat_level[:W], 0, scale_sigmas.shape[0] - 1)
+    inv_sig = 1.0 / scale_sigmas[lvl]
+
     kf_R, kf_t = jax.vmap(lambda i: _ns_to_cam_pose(
-        jax.tree_util.tree_map(lambda x: x[i], m.kf_ns)))(jnp.arange(m.kf_cap))
-    first = jnp.argmax(m.kf_valid)  # lowest valid slot
-    fixed = jnp.arange(m.kf_cap) == first
+        jax.tree_util.tree_map(lambda x: x[i], m.kf_ns)))(jnp.arange(W))
+    first = jnp.argmax(kf_valid_w)  # lowest valid slot
+    fixed = jnp.arange(W) == first
     Rn, tn, pts, inl = local_ba_se3(
-        kf_R, kf_t, fixed, m.kf_valid, m.pt_xyz, m.pt_valid,
+        kf_R, kf_t, fixed, kf_valid_w, m.pt_xyz, m.pt_valid,
         obs_kf, obs_pt, obs_uv, inv_sig, ok,
-        fx, fy, cx, cy, n_iters=8, rounds=2, p_active=4096,
+        fx, fy, cx, cy, n_iters=n_iters, rounds=rounds, p_active=p_active,
     )
-    ns2 = jax.vmap(_cam_pose_to_ns)(Rn, tn)
+    ns2_w = jax.vmap(_cam_pose_to_ns)(Rn, tn)
     # keep velocity/bias fields from the old states (visual BA only
     # touches pose); _cam_pose_to_ns zeroes them
-    ns2 = dataclasses.replace(m.kf_ns, p=ns2.p, R=ns2.R)
-    return _writeback(m, ns2, pts, inl, ok)
+    ns2 = dataclasses.replace(
+        m.kf_ns,
+        p=m.kf_ns.p.at[:W].set(ns2_w.p),
+        R=m.kf_ns.R.at[:W].set(ns2_w.R),
+    )
+    keep = inl | ~ok
+    return dataclasses.replace(
+        m,
+        kf_ns=ns2,
+        pt_xyz=pts,
+        kf_feat_pt=m.kf_feat_pt.at[:W].set(
+            jnp.where(keep, m.kf_feat_pt[:W], -1)),
+    )
 
 
 @jax.jit
