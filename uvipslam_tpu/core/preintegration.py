@@ -158,6 +158,11 @@ def preintegrate(
     eye3 = jnp.eye(3, dtype=dtype)
     gyr_cov = eye3 * (gyr_sd * gyr_sd)
     acc_cov = eye3 * (acc_sd * acc_sd)
+    # pin every operand to the sample dtype: a stray f64 bias (possible
+    # under x64 test mode) would otherwise promote part of the scan carry
+    # and fail the carry-type check
+    bg = jnp.asarray(bg, dtype)
+    ba = jnp.asarray(ba, dtype)
 
     def body(st: PreintState, inp):
         w, a, dt, m = inp
@@ -166,7 +171,9 @@ def preintegrate(
         return st2, None
 
     init = PreintState.zero(dtype=dtype)
-    out, _ = jax.lax.scan(body, init, (omegas, accs, dts.astype(dtype), mask.astype(dtype)))
+    out, _ = jax.lax.scan(
+        body, init, (omegas, accs.astype(dtype),
+                     dts.astype(dtype), mask.astype(dtype)))
     return out
 
 
@@ -192,6 +199,8 @@ def preintegrate_continue(
     eye3 = jnp.eye(3, dtype=dtype)
     gyr_cov = eye3 * (gyr_sd * gyr_sd)
     acc_cov = eye3 * (acc_sd * acc_sd)
+    bg = jnp.asarray(bg, dtype)
+    ba = jnp.asarray(ba, dtype)
 
     def body(st, inp):
         w, a, dt, m = inp
@@ -199,7 +208,8 @@ def preintegrate_continue(
         return preint_step(st, w - bg, a - ba, dt, gyr_cov, acc_cov), None
 
     out, _ = jax.lax.scan(
-        body, state, (omegas, accs, dts.astype(dtype), mask.astype(dtype))
+        body, state, (omegas.astype(dtype), accs.astype(dtype),
+                      dts.astype(dtype), mask.astype(dtype))
     )
     return out
 

@@ -16,6 +16,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RADTAN = 0
 FISHEYE = 1
@@ -46,15 +47,27 @@ class CameraModel:
     @staticmethod
     def create(fx, fy, cx, cy, dist=(0.0, 0.0, 0.0, 0.0), kind=RADTAN,
                width=640, height=512, dtype=jnp.float32) -> "CameraModel":
+        # intrinsics live as NUMPY, never eager device arrays: camera
+        # fields are closure-captured by every jitted tracker stage, and
+        # MLIR lowering must FETCH a device-resident constant back
+        # through the (slow remote) device tunnel to embed it — measured
+        # 300+ s of the VIP "compile" time. numpy constants embed free.
+        npdt = np.dtype(dtype)
         return CameraModel(
-            fx=jnp.asarray(fx, dtype), fy=jnp.asarray(fy, dtype),
-            cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
-            dist=jnp.asarray(dist, dtype), kind=kind, width=width, height=height,
+            fx=np.asarray(fx, npdt), fy=np.asarray(fy, npdt),
+            cx=np.asarray(cx, npdt), cy=np.asarray(cy, npdt),
+            dist=np.asarray(dist, npdt), kind=kind, width=width,
+            height=height,
         )
 
     @property
-    def K(self) -> jax.Array:
+    def K(self):
         dtype = self.fx.dtype
+        if isinstance(self.fx, (np.ndarray, np.generic)):
+            return np.asarray(
+                [[self.fx, 0.0, self.cx],
+                 [0.0, self.fy, self.cy],
+                 [0.0, 0.0, 1.0]], dtype)
         z = jnp.zeros((), dtype)
         o = jnp.ones((), dtype)
         return jnp.stack([
