@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from uvipslam_tpu.core import lie
 from uvipslam_tpu.core.lie import mm, mv
@@ -109,6 +110,11 @@ class StepOut:
     tcw: jax.Array
     state: jax.Array
     n_inliers: jax.Array
+    # slot of a keyframe created THIS frame, -1 otherwise — the hook the
+    # streaming host uses to run loop closing at KF boundaries
+    # (reference: LocalMapping feeds LoopClosing on every keyframe,
+    # src/LocalMapping.cc:850-852)
+    new_kf: jax.Array
 
 
 def init_state(cfg: TrackerConfig, kf_cap: int, pt_cap: int,
@@ -136,7 +142,9 @@ def init_state(cfg: TrackerConfig, kf_cap: int, pt_cap: int,
 
 def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int):
     """Returns (state0, step) with step = jit((state, img) -> (state, out))."""
-    scale_sigmas = jnp.asarray(cfg.scale_sigmas, jnp.float32)
+    # numpy, not device array: closure constants embed free at
+    # lowering (device-resident constants cost a tunnel fetch)
+    scale_sigmas = np.asarray(cfg.scale_sigmas, np.float32)
 
     # ------------------------------------------------------------------
     def undistort(tracks: Tracks) -> Tracks:
@@ -224,7 +232,8 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
             ring_f = st.ring_frame.at[st.init_frame_id % RING].set(st.init_frame_id)
             return dataclasses.replace(
                 st, tracks=t2, map=m, Rcw=Rcw, tcw=tcw,
-                R_vel=jnp.eye(3), t_vel=jnp.zeros(3),
+                R_vel=jnp.eye(3, dtype=jnp.float32),
+                t_vel=jnp.zeros(3, jnp.float32),
                 ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
                 last_kf_slot=k1.astype(jnp.int32), last_kf_frame=st.frame_id,
                 n_ref_tracked=jnp.sum(good).astype(jnp.int32),
@@ -421,7 +430,10 @@ def build_tracker(cam: CameraModel, cfg: TrackerConfig, kf_cap: int, pt_cap: int
             ),
         )
         out = StepOut(Rcw=st.Rcw, tcw=st.tcw, state=st.state,
-                      n_inliers=jnp.asarray(0, jnp.int32))
+                      n_inliers=jnp.asarray(0, jnp.int32),
+                      new_kf=jnp.where(st.last_kf_frame == frame_id,
+                                       st.last_kf_slot,
+                                       jnp.asarray(-1, jnp.int32)))
         return st, out
 
     H, W = cam.height, cam.width

@@ -146,6 +146,10 @@ class VipStepOut:
     p_w: jax.Array
     state: jax.Array
     vio_ok: jax.Array
+    # slot of a keyframe created THIS frame, -1 otherwise — the hook the
+    # streaming host uses to run loop closing at KF boundaries
+    # (reference: src/LocalMapping.cc:850-852)
+    new_kf: jax.Array
 
 
 def init_vip_state(cfg: VipConfig, kf_cap: int, pt_cap: int,
@@ -211,17 +215,22 @@ def _zero_kf_accumulators(st: VipTrackerState) -> VipTrackerState:
 def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                       kf_cap: int, pt_cap: int):
     """Returns (state0, step) with step = jit((state, bundle) ->
-    (state, VipStepOut))."""
-    scale_sigmas = jnp.asarray(cfg.scale_sigmas, jnp.float32)
-    gravity_w = jnp.asarray(cfg.gravity, jnp.float32)
-    depth_info_cfg = jnp.asarray(1.0 / cfg.depth_noise_sd ** 2, jnp.float32)
+    (state, VipStepOut)).
+
+    Closure constants are NUMPY on purpose: MLIR lowering must fetch a
+    device-resident constant's value back through the (slow remote)
+    device tunnel to embed it — numpy constants embed for free (this was
+    300+ s of the round-4 VIP "compile" time)."""
+    scale_sigmas = np.asarray(cfg.scale_sigmas, np.float32)
+    gravity_w = np.asarray(cfg.gravity, np.float32)
+    depth_info_cfg = np.asarray(1.0 / cfg.depth_noise_sd ** 2, np.float32)
     # camera-in-body extrinsics (reference: Camera.Tbc,
     # src/IMU/configparam.cpp:41-69)
     _Tbc = np.asarray(cfg.Tbc, np.float32)
-    Rbc = jnp.asarray(_Tbc[:3, :3])
-    tbc = jnp.asarray(_Tbc[:3, 3])
-    Rcb = jnp.asarray(_Tbc[:3, :3].T)
-    tcb = jnp.asarray(-(_Tbc[:3, :3].T @ _Tbc[:3, 3]))
+    Rbc = _Tbc[:3, :3]
+    tbc = _Tbc[:3, 3]
+    Rcb = np.ascontiguousarray(_Tbc[:3, :3].T)
+    tcb = -(_Tbc[:3, :3].T @ _Tbc[:3, 3])
 
     def undistort(tracks: Tracks) -> Tracks:
         return dataclasses.replace(tracks, xy_und=cam.undistort_pixels(tracks.xy))
@@ -419,14 +428,14 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
     # per-state branches: decide + cheap algebra only (heavy stages are
     # hoisted into `step` below and run once, gated by flags)
     # ------------------------------------------------------------------
-    ZB = jnp.asarray(False)
-    ZI = jnp.asarray(0, jnp.int32)
+    ZB = np.asarray(False)
+    ZI = np.asarray(0, np.int32)
 
     def no_ctl():
         return dict(want_kf=ZB, want_ba=ZB, adopt=ZI, want_hyg=ZB,
                     want_trigger=ZB)
 
-    H_PRIOR0 = jnp.eye(15, dtype=jnp.float32) * 1e2
+    H_PRIOR0 = np.eye(15, dtype=np.float32) * np.float32(1e2)
 
     def step(st: VipTrackerState, b: FrameBundle):
         img = b.img.astype(jnp.float32)
@@ -482,6 +491,20 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
             kf_dt=kf_dt, kf_mask=kf_mask, kf_n=kf_n, accw_sum=accw_sum,
         )
 
+        # ---- shared IMU prediction (reference: PredictNavStateByIMU) ----
+        # consumed by track propagation, the VI solve, the first-try
+        # relocalization search, and recovery dead-reckoning — ONE copy
+        g_ = gravity_w
+        dt_ = pre_frame.dt
+        ns_pred = dataclasses.replace(
+            st.ns,
+            p=st.ns.p + st.ns.v * dt_ + 0.5 * g_ * dt_ * dt_ +
+            mv(st.ns.R, pre_frame.dP),
+            v=st.ns.v + g_ * dt_ + mv(st.ns.R, pre_frame.dV),
+            R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
+        )
+        Rcw_pred, tcw_pred = _ns_to_cam_pose_ext(ns_pred, Rcb, tcb)
+
         # ---- track propagation ----
         s = st.state
         do_prop = (s == INITIALIZING) | (s == WORKING) | (s == IMU_RELOC)
@@ -489,15 +512,9 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         def prop(tracks):
             # motion-model pose: IMU prediction post-init, velocity model
             # pre-init (reference: PredictNavStateByIMU vs motion model)
-            g = gravity_w
-            dt = pre_frame.dt
-            p_pred = st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt + \
-                mv(st.ns.R, pre_frame.dP)
-            R_pred = lie.normalize_rotation(mm(st.ns.R, pre_frame.dR))
-            Rcw_i, tcw_i = _ns_to_cam_pose_ext(
-                dataclasses.replace(st.ns, p=p_pred, R=R_pred), Rcb, tcb)
-            Rp = jnp.where(st.vio_ok, Rcw_i, mm(st.R_vel, st.Rcw))
-            tp = jnp.where(st.vio_ok, tcw_i, mv(st.R_vel, st.tcw) + st.t_vel)
+            Rp = jnp.where(st.vio_ok, Rcw_pred, mm(st.R_vel, st.Rcw))
+            tp = jnp.where(st.vio_ok, tcw_pred,
+                           mv(st.R_vel, st.tcw) + st.t_vel)
             guess, guess_ok = _motion_guess_jit(
                 tracks, st.map, Rp, tp, cam.fx, cam.fy, cam.cx, cam.cy)
             return propagate_tracks(
@@ -527,6 +544,24 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         tracks = undistort(tracks)
         tracks = refresh_birth(tracks, st.frame_id)
         st = dataclasses.replace(st, tracks=tracks)
+
+        # ---- SHARED first-try relocalization associations (reference:
+        # IMU_Relocalisation, src/Tracking.cc:3012-3060): projection
+        # re-association of the LAST keyframe's landmarks at the IMU
+        # predicted pose. Cheap (one windowed 400x400 Hamming match), so
+        # computed unconditionally; consumed by the VI stage's second
+        # solve lane only when the first solve fails.
+        from uvipslam_tpu.loop.reloc import first_try_associations
+        ft_slot = jnp.clip(st.last_kf_slot, 0, kf_cap - 1)
+        ft_pid, ft_nm = first_try_associations(
+            tracks, st.map, ft_slot, Rcw_pred, tcw_pred,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            min_matches=max(20, round(0.15 * cfg.n_tracks)))
+        # pre-gate (reference: >= 60 matches at the 400 budget)
+        ft_gate = (ft_nm >= max(20, round(0.15 * cfg.n_tracks))) \
+            & (st.last_kf_slot >= 0) & cfg.reloc_first_try
+        tracks_ft = dataclasses.replace(
+            tracks, pt_id=jnp.where(ft_gate, ft_pid, -1))
 
         # ---- SHARED two-view reconstruction (init + recovery re-anchor) --
         do_tv = (s == INITIALIZING) | ((s == IMU_RELOC) & (st.rec_frame >= 0))
@@ -658,7 +693,8 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                     st.init_frame_id)
                 st = dataclasses.replace(
                     st, tracks=t2, map=m,
-                    R_vel=jnp.eye(3), t_vel=jnp.zeros(3),
+                    R_vel=jnp.eye(3, dtype=jnp.float32),
+                    t_vel=jnp.zeros(3, jnp.float32),
                     ring_R=ring_R, ring_t=ring_t, ring_frame=ring_f,
                 )
                 # pose adoption, mono BA, WORKING transition: stage D
@@ -707,21 +743,50 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
         # ---- WORKING branch, VI(P) form (post-init) ----
         def vi_working(st):
             depth_info = jnp.where(b.depth_valid, depth_info_cfg, 0.0)
-            g = gravity_w
-            dt = pre_frame.dt
-            ns_pred = dataclasses.replace(
-                st.ns,
-                p=st.ns.p + st.ns.v * dt + 0.5 * g * dt * dt +
-                mv(st.ns.R, pre_frame.dP),
-                v=st.ns.v + g * dt + mv(st.ns.R, pre_frame.dV),
-                R=lie.normalize_rotation(mm(st.ns.R, pre_frame.dR)),
-            )
-            ns_opt, inlier, n_in, tracks2, H_post = _vi_track_jit(
-                st.tracks, st.map, ns_pred, st.ns, pre_frame, gravity_w,
-                cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
-                cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
-                b.depth, depth_info, st.H_prior, Rcb, tcb,
-            )
+
+            # two-lane solve under ONE compiled _vi_track instance:
+            # lane 0 = the normal associations; lane 1 = the first-try
+            # relocalization associations (reference: IMU_Relocalisation
+            # after a failed TrackWithIMU, src/Tracking.cc:679-692). The
+            # lax.scan body holds the single copy; the cond inside skips
+            # lane 1's solve at RUNTIME whenever lane 0 succeeded, so the
+            # common path still costs one solve.
+            min_tr = jnp.asarray(cfg.min_tracked, jnp.int32)
+            reloc_min = jnp.asarray(max(10, round(0.0625 * cfg.n_tracks)),
+                                    jnp.int32)  # ref: >= 25/400 inliers
+
+            def solve(tk):
+                return _vi_track_jit(
+                    tk, st.map, ns_pred, st.ns, pre_frame, gravity_w,
+                    cam.fx, cam.fy, cam.cx, cam.cy, scale_sigmas,
+                    cfg.gyr_bias_rw2, cfg.acc_bias_rw2,
+                    b.depth, depth_info, st.H_prior, Rcb, tcb,
+                )
+
+            zeros_out = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                jax.eval_shape(solve, st.tracks))
+
+            def lane(done, x):
+                tk, th = x
+                out = jax.lax.cond(done, lambda _: zeros_out, lambda _:
+                                   solve(tk), None)
+                ok = (out[2] >= th) & ~done
+                return done | ok, (out, ok)
+
+            lanes = jax.tree_util.tree_map(
+                lambda a_, b_: jnp.stack([a_, b_]), st.tracks, tracks_ft)
+            _, (outs, oks) = jax.lax.scan(
+                lane, jnp.asarray(False),
+                (lanes, jnp.stack([min_tr, reloc_min])))
+            ok0, ok1 = oks[0], oks[1]
+            pick = jnp.where(ok0, 0, 1).astype(jnp.int32)
+            ns_opt, inlier, n_in, tracks2, H_post = jax.tree_util.tree_map(
+                lambda a: a[pick], outs)
+            solved = ok0 | ok1
+            # first-try reloc forces a keyframe (reference:
+            # mbCreateNewKFAfterReloc, src/Tracking.cc:3053)
+            forced_kf = ok1
 
             def to_recovery(st):
                 # pressure-z override on the dead-reckoned state; the
@@ -748,18 +813,17 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 st = dataclasses.replace(st, tracks=tracks2, ns=ns_opt,
                                          Rcw=Rcw, tcw=tcw, H_prior=H_new)
                 since = st.frame_id - st.last_kf_frame
-                need_kf = (since >= cfg.kf_min_interval) & (
+                need_kf = forced_kf | ((since >= cfg.kf_min_interval) & (
                     (since >= cfg.kf_max_interval)
                     | (n_in < cfg.kf_track_ratio *
                        jnp.maximum(st.n_ref_tracked, 1))
-                )
+                ))
                 return st, dict(
                     want_kf=need_kf, want_ba=need_kf, adopt=ZI,
                     want_hyg=need_kf if cfg.map_hygiene else ZB,
                     want_trigger=ZB)
 
-            return jax.lax.cond(n_in < cfg.min_tracked, to_recovery,
-                                keep_working, st)
+            return jax.lax.cond(solved, keep_working, to_recovery, st)
 
         def branch_working(st):
             return jax.lax.cond(st.vio_ok, vi_working, mono_working, st)
@@ -1026,7 +1090,10 @@ def build_vip_tracker(cam: CameraModel, cfg: VipConfig,
                 st.ring_frame),
         )
         out = VipStepOut(Rcw=st.Rcw, tcw=st.tcw, p_w=st.ns.p,
-                         state=st.state, vio_ok=st.vio_ok)
+                         state=st.state, vio_ok=st.vio_ok,
+                         new_kf=jnp.where(st.last_kf_frame == frame_id,
+                                          st.last_kf_slot,
+                                          jnp.asarray(-1, jnp.int32)))
         return st, out
 
     H, W = cam.height, cam.width

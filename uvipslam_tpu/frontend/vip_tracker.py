@@ -74,6 +74,12 @@ class VipConfig(TrackerConfig):
     # target virtual-KF spacing for the mode-1 linear solves (seconds);
     # see build_strided_inertial for why short spacing biases the scale
     vio_init_baseline_s: float = 0.6
+    # cheap FIRST relocalization tier: one projection-search attempt
+    # against the last KF at the IMU-predicted pose before entering
+    # sustained recovery (reference: IMU_Relocalisation on the first bad
+    # frame, src/Tracking.cc:679-692, :3012-3060 — >= 60/400 matches to
+    # try, >= 25 pose-solve inliers to accept, then force a keyframe)
+    reloc_first_try: bool = True
     # sustained-failure recovery (reference: IMU_RELOCALIZATION tier —
     # RecoveryInitialization/CreateRecoveryMap, src/Tracking.cc:1529-1834)
     recovery_min_baseline: float = 0.04   # metres of IMU translation
@@ -244,7 +250,38 @@ class VipTracker(MonoTracker):
         )
         n_in = int(n_in)
         status = {}
-        if n_in < self.cfg.min_tracked:
+        first_try_ok = False
+        if n_in < self.cfg.min_tracked and self.cfg.reloc_first_try \
+                and self.last_kf_slot >= 0:
+            # FIRST relocalization tier (reference: IMU_Relocalisation,
+            # src/Tracking.cc:679-692): one projection search of the last
+            # KF's landmarks at the IMU-predicted pose; a 1-2 frame
+            # occlusion/association loss must NOT cost a full re-anchor
+            from uvipslam_tpu.loop.reloc import first_try_associations
+            N = self.cfg.n_tracks
+            pid_ft, n_m = first_try_associations(
+                self.tracks, self.map, jnp.asarray(self.last_kf_slot),
+                Rcw_pred, tcw_pred, self.cam.fx, self.cam.fy,
+                self.cam.cx, self.cam.cy,
+                min_matches=max(20, round(0.15 * N)))
+            if int(n_m) >= max(20, round(0.15 * N)):  # ref: >= 60/400
+                tracks_ft = dataclasses.replace(self.tracks, pt_id=pid_ft)
+                ns2, inl2, n2, tracks2b, H2 = _vi_track_jit(
+                    tracks_ft, self.map, ns_pred, self.ns, pre_frame,
+                    self.gravity_w, self.cam.fx, self.cam.fy, self.cam.cx,
+                    self.cam.cy,
+                    jnp.asarray(self.cfg.scale_sigmas, jnp.float32),
+                    self.cfg.gyr_bias_rw2, self.cfg.acc_bias_rw2,
+                    self.cur_depth, jnp.asarray(
+                        (1.0 / self.cfg.depth_noise_sd**2)
+                        if self.cur_depth_valid else 0.0, jnp.float32),
+                    self.H_prior, self.Rcb, self.tcb,
+                )
+                if int(n2) >= max(10, round(0.0625 * N)):  # ref: >= 25/400
+                    n_in = int(n2)
+                    ns_opt, inlier, tracks2, H_post = ns2, inl2, tracks2b, H2
+                    first_try_ok = True  # ref: mbCreateNewKFAfterReloc
+        if n_in < self.cfg.min_tracked and not first_try_ok:
             # sustained-failure tier: keep dead-reckoning on the IMU and
             # bootstrap a fresh recovery sub-map (reference: the
             # IMU_RELOCALIZATION state, src/Tracking.cc:594-613,1529-)
@@ -276,9 +313,13 @@ class VipTracker(MonoTracker):
                 birth_xy_und=jnp.where(newborn[:, None], self.tracks.xy_und,
                                        self.tracks.birth_xy_und),
             )
-            if self._need_keyframe(n_in):
+            if first_try_ok or self._need_keyframe(n_in):
+                # first-try reloc forces a keyframe (reference:
+                # mbCreateNewKFAfterReloc, src/Tracking.cc:3053)
                 self._create_keyframe()
-            status.update(state="WORKING", n_inliers=n_in, vio=True)
+            status.update(state="WORKING", n_inliers=n_in, vio=True,
+                          **({"first_try_reloc": True} if first_try_ok
+                             else {}))
 
         self.pyr_prev = pyr
         if self.state == WORKING:

@@ -62,6 +62,49 @@ def _idf():
     return jnp.asarray(_IDF)
 
 
+@functools.partial(jax.jit, static_argnames=("min_matches",))
+def first_try_associations(tracks, m, kf_slot, Rcw, tcw, fx, fy, cx, cy,
+                           radius: float = 15.0, radius_wide: float = 40.0,
+                           min_matches: int = 30):
+    """One-frame projection re-association against a single keyframe —
+    the cheap FIRST relocalization tier (reference: IMU_Relocalisation,
+    src/Tracking.cc:3012-3060: SearchByProjection of the LAST keyframe's
+    map points into the current frame at the IMU-predicted pose; the
+    reference retries with a WIDER window when the narrow one comes up
+    short — its th is further octave-scaled, so the effective radius is
+    tens of px).
+
+    Returns (pt_id [N_tracks] — recovered associations, -1 elsewhere;
+    n_matches). The caller re-runs the VI pose solve with these
+    associations and applies the reference's >= 25-inlier acceptance."""
+    F = m.kf_feat_pt.shape[1]
+    pid = m.kf_feat_pt[kf_slot]
+    okf = m.kf_feat_valid[kf_slot] & (pid >= 0) \
+        & m.pt_valid[jnp.clip(pid, 0, m.pt_cap - 1)]
+    X = m.pt_xyz[jnp.clip(pid, 0, m.pt_cap - 1)]
+    Xc = jnp.einsum("ij,nj->ni", Rcw, X) + tcw
+    z = Xc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    proj = jnp.stack([fx * Xc[:, 0] / zs + cx, fy * Xc[:, 1] / zs + cy], -1)
+    good_z = (z > 0.05)[None, :] & okf[None, :]
+
+    def match_at(r):
+        pair = hamming.window_mask(tracks.xy_und, proj, r) & good_z
+        idx, dist, ok = hamming.match_best(
+            tracks.desc, m.kf_feat_desc[kf_slot], tracks.valid, okf,
+            pair_mask=pair, max_dist=hamming.TH_HIGH, ratio=0.9)
+        ok = hamming.rotation_consistency(
+            tracks.angle, m.kf_feat_angle[kf_slot], idx, ok)
+        new_pid = jnp.where(ok, pid[jnp.clip(idx, 0, F - 1)], -1)
+        return new_pid.astype(jnp.int32), jnp.sum(ok).astype(jnp.int32)
+
+    pid1, n1 = match_at(radius)
+    pid2, n2 = match_at(radius_wide)
+    narrow_ok = n1 >= min_matches
+    return (jnp.where(narrow_ok, pid1, pid2),
+            jnp.where(narrow_ok, n1, n2))
+
+
 @jax.jit
 def relocalize_frame(tracks, m, key, fx, fy, cx, cy):
     """Returns (Rcw, tcw, pt_id [N_tracks], n_inliers). pt_id carries the
