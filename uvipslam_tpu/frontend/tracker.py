@@ -70,6 +70,16 @@ class TrackerConfig:
     map_hygiene: bool = True
     # the LoopC flag (reference: default OFF in the harbor yaml:90)
     loop_closing: bool = False
+    # Sim3 acceptance gates. Defaults are ORB-SLAM's 20/40 — a DOCUMENTED
+    # DEVIATION from the reference's shipped 10/10 (it loosened the gates
+    # for underwater imagery: src/LoopClosing.cc:464,521 comments); see
+    # loop/closer.py compute_loop_sim3 for the evidence behind the
+    # default. Set 10/10 to restore reference behavior where recall on
+    # low-texture revisits matters more than false-closure risk.
+    loop_min_sim3_inliers: int = 20
+    # -1 = auto: 10% of the per-frame feature budget (ORB-SLAM's 40 at
+    # the 400-feature Aqualoc working point), floored at 15
+    loop_min_total_matches: int = -1
 
 
 class MonoTracker:
@@ -107,7 +117,11 @@ class MonoTracker:
         self.loop_closer = None
         if self.cfg.loop_closing:
             from uvipslam_tpu.loop.closer import LoopCloser
-            self.loop_closer = LoopCloser(cam.fx, cam.fy, cam.cx, cam.cy)
+            mt = self.cfg.loop_min_total_matches
+            self.loop_closer = LoopCloser(
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                min_sim3_inliers=self.cfg.loop_min_sim3_inliers,
+                min_total_matches=None if mt < 0 else mt)
         self.loop_events = []       # (frame_id, loop_kf) for diagnostics
 
     # ------------------------------------------------------------------
@@ -278,8 +292,8 @@ class MonoTracker:
         self.tracks = dataclasses.replace(t, pt_id=jnp.where(good, feat_pt, -1))
         ns1_new = jax.tree_util.tree_map(lambda a: a[1], m.kf_ns)
         self.Rcw, self.tcw = _ns_to_cam_pose(ns1_new)
-        self.R_vel = jnp.eye(3)
-        self.t_vel = jnp.zeros(3)
+        self.R_vel = jnp.eye(3, dtype=jnp.float32)
+        self.t_vel = jnp.zeros(3, jnp.float32)
         self.last_kf_slot = int(k1)
         self.last_kf_frame = self.frame_id
         self.last_kf_tracks = self.tracks

@@ -64,6 +64,12 @@ class Settings:
     loop_closing: int = 0
     loop_haloc: int = 0
     loop_bow: int = 0
+    # Sim3 acceptance gates (EXTENSION keys, not in the reference schema:
+    # the reference hardcodes 10/10 after loosening ORB-SLAM's 20/40,
+    # src/LoopClosing.cc:464,521; we default to 20/40 and make both
+    # configurable — see loop/closer.py compute_loop_sim3)
+    loop_min_sim3_inliers: int = 20
+    loop_min_total_matches: int = -1   # -1 = auto (10% of feature budget)
     init_time: float = 22.0
     init_mode: int = 2
     klt_levels: int = 5
@@ -93,6 +99,8 @@ _KEYMAP = {
     "ORBextractor.nScoreType": "score_type",
     "Mode": "mode", "Enhance": "enhance", "Px_distance": "px_distance",
     "LoopC": "loop_closing", "LoopCHALOC": "loop_haloc", "LoopCBOF": "loop_bow",
+    "LoopC.minSim3Inliers": "loop_min_sim3_inliers",
+    "LoopC.minTotalMatches": "loop_min_total_matches",
     "time.Init": "init_time", "Init_mode": "init_mode",
     "Pyramid.Level": "klt_levels", "Window.Size": "klt_window",
     "LocalMapping.LocalWindowSize": "local_window_size",
@@ -104,6 +112,7 @@ _INT_FIELDS = {
     "rgb", "width", "height", "fisheye", "multiply_g", "n_features",
     "n_levels", "fast_th", "score_type", "mode", "enhance", "px_distance",
     "loop_closing", "loop_haloc", "loop_bow", "klt_levels", "klt_window",
+    "loop_min_sim3_inliers", "loop_min_total_matches",
     "init_mode",
     "local_window_size",
 }

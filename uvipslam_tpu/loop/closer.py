@@ -45,19 +45,34 @@ from uvipslam_tpu.solver.essential_graph import (
 )
 
 
+def kf_insertion_gap(m: MapState, query_kf):
+    """Per-slot KF-insertion distance to `query_kf`: for each slot c, the
+    number of valid keyframes inserted after c and up to (including) the
+    query. Keyed on `kf_frame_id` (strictly increasing at insertion), NOT
+    on slot index — once keyframe culling/compaction recycles slots, slot
+    order no longer equals time order. Slots holding frames newer than
+    the query get gap 0 (always excluded by any positive min_gap)."""
+    f = m.kf_frame_id
+    fq = f[query_kf]
+    newer = m.kf_valid[None, :] & (f[None, :] > f[:, None]) & \
+        (f[None, :] <= fq)
+    return jnp.sum(newer, axis=1)
+
+
 def detect_loop_candidates(m: MapState, query_kf: int, min_gap: int = 10,
                            top_k: int = 3, min_score: float | None = None):
     """BoW + haloc candidate retrieval for `query_kf`, excluding the
     recent window (reference: DetectLoop's covisible exclusion) and
     gating BoW candidates at `min_score` (reference: the min score vs
     covisible KFs, src/LoopClosing.cc:164-175). Uses the retrieval
-    vectors stored at KF insertion — O(K) per query.
-    Returns (idx [<=2*top_k], scores [top_k]) — host-friendly numpy."""
+    vectors stored at KF insertion — O(K) per query. The recency window
+    is measured in KF insertions via `kf_insertion_gap`, robust to slot
+    recycling. Returns (idx [<=2*top_k], scores [top_k]) — host-friendly
+    numpy."""
     v_q = m.kf_bow[query_kf]
     scores = l1_score(v_q, m.kf_bow)
 
-    kf_ids = jnp.arange(m.kf_cap)
-    exclude = (kf_ids > query_kf - min_gap) | ~m.kf_valid
+    exclude = (kf_insertion_gap(m, query_kf) < min_gap) | ~m.kf_valid
     s = jnp.where(exclude, -1.0, scores)
     bow_val, bow_idx = jax.lax.top_k(s, top_k)
 
@@ -109,12 +124,22 @@ def compute_loop_sim3(m: MapState, kf_a: int, kf_b: int, key,
                       loop_group=None):
     """Match landmarks between two keyframes and solve the relative Sim3
     (reference: ComputeSim3 — SearchByBoW matches -> Sim3Solver RANSAC ->
-    OptimizeSim3 with the ``nInliers >= 20`` acceptance ->
-    SearchByProjection(Scw) against the loop NEIGHBORHOOD's landmarks
-    with the ``nTotalMatches >= 40`` acceptance, src/LoopClosing.cc:
-    437-537). Both gates are load-bearing: a diagnosed false closure on
-    repetitive synthetic texture scored exactly 12 optimizer inliers —
-    under the reference's 20/40 it never fires.
+    OptimizeSim3 inlier gate -> SearchByProjection(Scw) against the loop
+    NEIGHBORHOOD's landmarks with a total-matches gate,
+    src/LoopClosing.cc:437-537).
+
+    Gate defaults — a DOCUMENTED DEVIATION from the reference: the
+    reference as shipped accepts at 10 inliers / 10 total, having
+    deliberately LOOSENED ORB-SLAM's 20/40 for low-texture underwater
+    imagery (src/LoopClosing.cc:464 "originall it is 20 in here", :521
+    "//Originally 40"). We default to ORB-SLAM's 20/40 because a
+    diagnosed false closure on repetitive synthetic texture scored
+    exactly 12 optimizer inliers — under 10/10 it fires, under 20/40 it
+    never does. Both gates are config (Settings loop_min_sim3_inliers /
+    loop_min_total_matches -> LoopCloser), so an underwater deployment
+    can restore the reference's 10/10 where recall matters more than
+    false-positive risk; tests/test_loop_closer.py measures the recall
+    cost of 20/40 vs 10/10 on a revisit map.
 
     loop_group: optional iterable of KF slots forming kf_b's covisibility
     neighborhood (reference: mvpLoopMapPoints gathered from
@@ -354,11 +379,14 @@ class LoopCloser:
         self.consistency_th = consistency_th
         self.covis_th = covis_th
         self.min_gap = min_gap
+        # gate defaults are ORB-SLAM's 20/40, a documented deviation from
+        # the reference's shipped 10/10 (see compute_loop_sim3 docstring);
+        # both are plumbed from Settings so deployments can choose
         self.min_sim3_inliers = min_sim3_inliers
-        # None -> the reference's operating ratio: 40 total matches at
-        # its 400-feature Aqualoc budget (LoopClosing.cc:537,
-        # Settings_VI_Aqualoc_harbor.yaml:67) = 10% of the per-frame
-        # feature budget, floored for tiny test configs
+        # None -> ORB-SLAM's operating ratio: 40 total matches at the
+        # 400-feature Aqualoc budget (Settings_VI_Aqualoc_harbor.yaml:67)
+        # = 10% of the per-frame feature budget, floored for tiny test
+        # configs
         self.min_total_matches = min_total_matches
         self.key = jax.random.PRNGKey(seed)
         # body-camera extrinsics (identity unless the VIP tracker sets
@@ -369,7 +397,9 @@ class LoopCloser:
         self.tbc = jnp.zeros(3, jnp.float32)
         # list of (frozenset group, chain_length)
         self.consistent_groups: list[tuple[frozenset, int]] = []
-        self.last_loop_kf: int = -(10 ** 9)
+        # last closure keyed by FRAME id, not KF slot: slot indices are
+        # recycled once keyframe culling compacts the table
+        self.last_loop_frame: int = -(10 ** 9)
         self.n_closed = 0
         # --- cluster channel state (the reference keeps these as
         # LoopClosing::hash_table_ and LocalMapping::
@@ -498,7 +528,14 @@ class LoopCloser:
         # any early return (reference: the hash_table_ push at the top of
         # DetectLoop, src/LoopClosing.cc:131-139)
         self._add_clusters(m, query_kf)
-        if query_kf - self.last_loop_kf < self.min_gap:
+        # all gap logic keyed on frame ids / insertion counts, never on
+        # slot indices (slots recycle under keyframe culling)
+        f_np = np.asarray(m.kf_frame_id)
+        valid_np = np.asarray(m.kf_valid)
+        fq = int(f_np[query_kf])
+        kfs_since_loop = int(np.sum(valid_np & (f_np > self.last_loop_frame)
+                                    & (f_np <= fq)))
+        if kfs_since_loop < self.min_gap:
             return m, status
 
         ms = min_covisible_score(m, query_kf, self.covis_th)
@@ -509,8 +546,9 @@ class LoopCloser:
         # into vpCandidateKFs, src/LoopClosing.cc:195-248)
         covis_group = self._covis_group(m, query_kf)
         max_h = max_covisible_haloc(m, query_kf, self.covis_th)
+        gap_np = np.asarray(kf_insertion_gap(m, query_kf))
         cl = [c for c in self._cluster_candidates(m, query_kf, covis_group, max_h)
-              if c <= query_kf - self.min_gap]
+              if gap_np[c] >= self.min_gap]
         idx = np.unique(np.concatenate([idx, np.asarray(cl, idx.dtype)])
                         ) if cl else idx
         status["candidates"] = len(idx)
@@ -555,7 +593,7 @@ class LoopCloser:
             # src/LoopClosing.cc:691) — the pose graph distributes the
             # loop error, the BA re-grounds it in the reprojections
             m = self.post_ba(m)
-            self.last_loop_kf = query_kf
+            self.last_loop_frame = fq
             self.n_closed += 1
             self.consistent_groups = []
             # exclude this closure's cluster pairs from future searches
