@@ -20,6 +20,42 @@ import time
 import numpy as np
 
 
+def _kf_trajectory(m, vio_ok: bool, Tbc: np.ndarray, timestamps):
+    """Final-map keyframe trajectory as (timestamps, Rcw, tcw) — the
+    reference saves KEYFRAME poses from the final map at exit
+    (src/main.cc:180-204), so the exported trajectory is globally
+    consistent after the VIO-init rescale and any loop closures.
+
+    Post-VIO-init the KF table stores BODY NavStates; camera pose
+    follows through Tbc (Rwc = Rwb Rbc, C = p + Rwb tbc). Pre-init
+    (and MONO) the table stores camera-as-body."""
+    kf_valid = np.asarray(m.kf_valid)
+    frames = np.asarray(m.kf_frame_id)
+    # MONO trackers store frame ids (not stamps) in kf_time; the frame id
+    # indexes the sequence timestamps uniformly across all modes
+    timestamps = np.asarray(timestamps, np.float64)
+    kf_valid = kf_valid & (frames >= 0) & (frames < len(timestamps))
+    times = np.where(kf_valid, timestamps[np.clip(frames, 0,
+                                                  len(timestamps) - 1)], 0.0)
+    p = np.asarray(m.kf_ns.p, np.float64)
+    R = np.asarray(m.kf_ns.R, np.float64)
+    Tbc = np.asarray(Tbc, np.float64)
+    Rbc, tbc = Tbc[:3, :3], Tbc[:3, 3]
+    order = np.argsort(frames[kf_valid])
+    idx = np.nonzero(kf_valid)[0][order]
+    ts, Rs, tvs = [], [], []
+    for k in idx:
+        if vio_ok:
+            Rwc = R[k] @ Rbc
+            C = p[k] + R[k] @ tbc
+        else:
+            Rwc, C = R[k], p[k]
+        ts.append(times[k])
+        Rs.append(Rwc.T)
+        tvs.append(-Rwc.T @ C)
+    return ts, Rs, tvs
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--settings", help="reference-schema YAML settings file")
@@ -27,6 +63,11 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a bag")
     ap.add_argument("--mode", type=int, default=None, help="0 MONO / 2 VIP")
+    ap.add_argument("--device", action="store_true",
+                    help="device scan replay: the whole sequence runs as "
+                         "ONE jitted lax.scan program (the framework's "
+                         "native fast path, 100+ fps) instead of "
+                         "per-frame host dispatch")
     ap.add_argument("--out", default="stamped_traj_estimate.txt")
     ap.add_argument("--gt", default=None,
                     help="stamped_groundtruth.txt (TUM) — runs the "
@@ -81,57 +122,134 @@ def main(argv=None):
             kind=FISHEYE if s.fisheye else RADTAN,
             width=s.width, height=s.height,
         )
+        # Camera.Tbc rides along: a real Aqualoc YAML has non-identity
+        # body-camera extrinsics and every VI stage consumes them
+        # (reference: src/IMU/configparam.cpp:41-69)
         imu_cfg = dict(gyr_noise_sd=s.gyr_noise, acc_noise_sd=s.acc_noise,
                        gyr_bias_rw2=s.gyr_rw**2, acc_bias_rw2=s.acc_rw**2,
                        depth_noise_sd=s.depth_noise,
                        vio_init_min_time=s.init_time,
-                       init_mode=s.init_mode)
+                       init_mode=s.init_mode,
+                       Tbc=tuple(map(tuple,
+                                     np.asarray(s.Tbc, np.float64).tolist())))
 
     n_frames = len(bundles["timestamps"])
     from uvipslam_tpu.utils.metrics import MetricsLogger
     ml = MetricsLogger(args.metrics, run_id=f"mode{s.mode}")
     t0 = time.time()
 
-    if s.mode == MONO:
-        from uvipslam_tpu.frontend.tracker import MonoTracker, TrackerConfig
-        cfg = TrackerConfig(n_tracks=s.n_features, px_distance=s.px_distance,
+    if args.device:
+        # ---- device scan replay: ONE jitted lax.scan over the whole
+        # sequence (the framework's native mode — the reference's main()
+        # runs the real system at its real speed, src/main.cc:51-209;
+        # here the real speed is the fused device program, not per-frame
+        # host dispatch) ----
+        import jax
+        import jax.numpy as jnp
+        from uvipslam_tpu.frontend.tracker import WORKING
+
+        if s.mode == MONO:
+            from uvipslam_tpu.frontend.device_tracker import build_tracker
+            from uvipslam_tpu.frontend.tracker import TrackerConfig
+            cfg = TrackerConfig(n_tracks=s.n_features,
+                                px_distance=s.px_distance,
+                                local_window=s.local_window_size,
+                                enhance=bool(s.enhance))
+            st0, step = build_tracker(cam, cfg, kf_cap=128, pt_cap=8192)
+            scan_all = jax.jit(
+                lambda st, xs: jax.lax.scan(step.__wrapped__, st, xs))
+            xs = jnp.asarray(bundles["images"], jnp.float32)
+        else:
+            from uvipslam_tpu.frontend.device_vip import (
+                FrameBundle, build_vip_tracker)
+            from uvipslam_tpu.frontend.vip_tracker import VipConfig
+            cfg = VipConfig(n_tracks=s.n_features,
+                            px_distance=s.px_distance,
+                            local_window=s.local_window_size,
+                            enhance=bool(s.enhance), **imu_cfg)
+            st0, step = build_vip_tracker(cam, cfg, kf_cap=128, pt_cap=8192)
+            scan_all = jax.jit(
+                lambda st, xs: jax.lax.scan(step.__wrapped__, st, xs))
+            xs = FrameBundle(
+                img=jnp.asarray(bundles["images"], jnp.float32),
+                imu_omg=jnp.asarray(bundles["imu_omg"], jnp.float32),
+                imu_acc=jnp.asarray(bundles["imu_acc"], jnp.float32),
+                imu_dt=jnp.asarray(bundles["imu_dt"], jnp.float32),
+                imu_mask=jnp.asarray(bundles["imu_mask"], jnp.float32),
+                depth=jnp.asarray(bundles["depth"], jnp.float32),
+                depth_valid=jnp.asarray(bundles["depth_valid"]),
+                timestamp=jnp.asarray(bundles["timestamps"], jnp.float32),
+            )
+        stf, outs = scan_all(st0, xs)
+        jax.block_until_ready(stf.tcw)
+        compile_and_first = time.time() - t0
+        # timed pass (the compile is a one-off; report steady-state fps)
+        t1 = time.time()
+        stf, outs = scan_all(st0, xs)
+        jax.block_until_ready(stf.tcw)
+        wall = time.time() - t1
+        states = np.asarray(outs.state)
+        Rs_all = np.asarray(outs.Rcw)
+        ts_all = np.asarray(outs.tcw)
+        n_tracked = int((states == WORKING).sum())
+        for f in range(n_frames):
+            ml.frame(f, {"state": "WORKING" if states[f] == WORKING
+                         else f"state{int(states[f])}"})
+        n_kf = int(np.asarray(stf.map.n_kf))
+        ml.event("device_replay", compile_s=round(compile_and_first, 1))
+        vio_ok = bool(np.asarray(getattr(stf, "vio_ok", False)))
+        final_map, Tbc_used = stf.map, np.asarray(getattr(cfg, "Tbc", np.eye(4)))
+    else:
+        if s.mode == MONO:
+            from uvipslam_tpu.frontend.tracker import (
+                MonoTracker, TrackerConfig)
+            cfg = TrackerConfig(n_tracks=s.n_features,
+                                px_distance=s.px_distance,
+                                local_window=s.local_window_size,
+                                enhance=bool(s.enhance),
+                                loop_closing=bool(s.loop_closing))
+            tr = MonoTracker(cam, cfg)
+            for f in range(n_frames):
+                st = tr.process_frame(bundles["images"][f])
+                ml.frame(f, st)
+        else:
+            from uvipslam_tpu.frontend.vip_tracker import (
+                VipConfig, VipTracker)
+            cfg = VipConfig(n_tracks=s.n_features,
+                            px_distance=s.px_distance,
                             local_window=s.local_window_size,
                             enhance=bool(s.enhance),
-                            loop_closing=bool(s.loop_closing))
-        tr = MonoTracker(cam, cfg)
-        for f in range(n_frames):
-            st = tr.process_frame(bundles["images"][f])
-            ml.frame(f, st)
-    else:
-        from uvipslam_tpu.frontend.vip_tracker import VipConfig, VipTracker
-        cfg = VipConfig(n_tracks=s.n_features, px_distance=s.px_distance,
-                        local_window=s.local_window_size,
-                        enhance=bool(s.enhance),
-                        loop_closing=bool(s.loop_closing), **imu_cfg)
-        tr = VipTracker(cam, cfg)
-        for f in range(n_frames):
-            st = tr.process_frame_vip(
-                bundles["images"][f], bundles["imu_omg"][f],
-                bundles["imu_acc"][f], bundles["imu_dt"][f],
-                bundles["imu_mask"][f],
-                depth=bundles["depth"][f],
-                depth_valid=bool(bundles["depth_valid"][f]),
-                timestamp=float(bundles["timestamps"][f]),
-            )
-            ml.frame(f, st)
+                            loop_closing=bool(s.loop_closing), **imu_cfg)
+            tr = VipTracker(cam, cfg)
+            for f in range(n_frames):
+                st = tr.process_frame_vip(
+                    bundles["images"][f], bundles["imu_omg"][f],
+                    bundles["imu_acc"][f], bundles["imu_dt"][f],
+                    bundles["imu_mask"][f],
+                    depth=bundles["depth"][f],
+                    depth_valid=bool(bundles["depth_valid"][f]),
+                    timestamp=float(bundles["timestamps"][f]),
+                )
+                ml.frame(f, st)
+        wall = time.time() - t0
+        n_tracked = len(tr.trajectory)
+        n_kf = int(tr.map.n_kf)
+        vio_ok = bool(getattr(tr, "vio_ok", False))
+        final_map = tr.map
+        Tbc_used = np.asarray(getattr(cfg, "Tbc", np.eye(4)))
 
-    wall = time.time() - t0
     ml.counter("frames", n_frames)
     ml.event("run_end", fps=round(n_frames / max(wall, 1e-9), 2),
-             n_keyframes=int(tr.map.n_kf))
+             n_keyframes=n_kf)
     ml.close()
-    ids = [i for i, _, _ in tr.trajectory]
-    ts = [float(bundles["timestamps"][i]) for i in ids]
-    Rs = [R for _, R, _ in tr.trajectory]
-    tvs = [t for _, _, t in tr.trajectory]
+    # keyframe trajectory from the FINAL map (reference: src/main.cc:180-204
+    # — consistent after VIO-init rescale / loop closures)
+    ts, Rs, tvs = _kf_trajectory(final_map, vio_ok, Tbc_used,
+                                 bundles["timestamps"])
     save_tum_trajectory(args.out, ts, Rs, tvs)
     # reference prints FPS = Frame_Count / wall seconds at exit
-    print(f"frames: {n_frames}  tracked: {len(ids)}  "
+    print(f"frames: {n_frames}  tracked: {n_tracked}  "
+          f"keyframes: {len(ts)}  "
           f"FPS: {n_frames / max(wall, 1e-9):.2f}  -> {args.out}")
 
     if args.gt:
