@@ -103,3 +103,84 @@ def test_batched_replay_tracks_under_sharding():
         if rmse < 0.05 * np.linalg.norm(gt[-1] - gt[0]):
             ok_streams += 1
     assert ok_streams > S // 2, (ok_streams, st[:, -1], n_kf, ates)
+
+
+@pytest.mark.slow
+def test_batched_replay_vip_under_sharding():
+    """The FLAGSHIP (VIP) fleet under the mesh (round-4 verdict missing
+    #1): the full visual-inertial-pressure step — mono bootstrap,
+    on-device TryInitVIO with pressure scale, VI tracking + VI window
+    BA — vmapped over per-stream DISTINCT scenes and sharded over the
+    8-device CPU mesh. A majority of streams must VIO-INITIALIZE and
+    track with bounded METRIC (unscaled) ATE after init."""
+    from uvipslam_tpu.frontend.device_vip import FrameBundle
+    from uvipslam_tpu.frontend.tracker import WORKING
+    from uvipslam_tpu.frontend.vip_tracker import VipConfig
+    from uvipslam_tpu.io.synthetic import ate_rmse
+    from uvipslam_tpu.parallel.replay import batched_replay_vip
+
+    n_dev = len(jax.devices("cpu"))
+    mesh = make_mesh(n_dev, platform="cpu")
+    S, T, H, W = n_dev, 45, 240, 320
+    seqs = [make_sequence(n_frames=T, H=H, W=W, n_points=3000, seed=20 + s,
+                          speed=1.2, gyr_noise=0.005, acc_noise=0.05,
+                          gyr_bias=(0.004, -0.006, 0.003),
+                          acc_bias=(0.0, 0.0, 0.0),
+                          depth_noise=0.02, z_amp=0.5) for s in range(S)]
+    cam = CameraModel.create(
+        seqs[0].K[0, 0], seqs[0].K[1, 1], seqs[0].K[0, 2], seqs[0].K[1, 2],
+        width=W, height=H,
+    )
+    cfg = VipConfig(n_tracks=160, min_init_tracks=50, local_window=6,
+                    gyr_noise_sd=0.01, acc_noise_sd=0.1, depth_noise_sd=0.05,
+                    vio_init_min_kfs=6, vio_init_min_time=1.0,
+                    imu_cap_per_kf=128)
+    make_states, run = batched_replay_vip(cam, cfg, kf_cap=32, pt_cap=4096,
+                                          mesh=mesh)
+    states = make_states(S)
+    shardings = {str(x.sharding.spec)
+                 for x in jax.tree_util.tree_leaves(states)}
+    assert all("stream" in s for s in shardings), shardings
+
+    bundles = FrameBundle(
+        img=jnp.asarray(np.stack([s.images for s in seqs]), jnp.float32),
+        imu_omg=jnp.asarray(np.stack([s.imu_omg for s in seqs]), jnp.float32),
+        imu_acc=jnp.asarray(np.stack([s.imu_acc for s in seqs]), jnp.float32),
+        imu_dt=jnp.asarray(np.stack([s.imu_dt for s in seqs]), jnp.float32),
+        imu_mask=jnp.asarray(np.stack([s.imu_mask for s in seqs]),
+                             jnp.float32),
+        depth=jnp.asarray(np.stack([s.depth for s in seqs]), jnp.float32),
+        depth_valid=jnp.asarray(np.stack([s.depth_valid for s in seqs])),
+        timestamp=jnp.asarray(np.stack([s.timestamps for s in seqs]),
+                              jnp.float32),
+    )
+    bundles = shard_stream_axis(mesh, bundles)
+    stf, outs, fleet = run(states, bundles)
+    jax.block_until_ready(fleet[0])
+    n_working, n_vio = int(fleet[0]), int(fleet[1])
+    assert outs.Rcw.shape == (S, T, 3, 3)
+    assert n_vio > S // 2, (n_vio, np.asarray(outs.state[:, -1]))
+
+    st = np.asarray(outs.state)
+    vio = np.asarray(outs.vio_ok)
+    ok_streams = 0
+    ates = []
+    for s in range(S):
+        if not vio[s].any():
+            continue
+        init_f = int(np.argmax(vio[s]))
+        sel = np.asarray([i for i in range(T)
+                          if i >= init_f + 3 and st[s, i] == WORKING])
+        if len(sel) < 8:
+            continue
+        Rs = np.asarray(outs.Rcw[s], np.float64)
+        ts = np.asarray(outs.tcw[s], np.float64)
+        C = np.stack([-Rs[i].T @ ts[i] for i in sel])
+        gt = seqs[s].positions_w[sel]
+        rmse, _ = ate_rmse(C, gt, align_scale=False)   # METRIC
+        ates.append(rmse)
+        span = np.linalg.norm(seqs[s].positions_w[-1]
+                              - seqs[s].positions_w[0])
+        if rmse < 0.12 * span:
+            ok_streams += 1
+    assert ok_streams > S // 2, (ok_streams, n_vio, st[:, -1], ates)

@@ -91,3 +91,51 @@ def batched_replay(cam, cfg, kf_cap: int, pt_cap: int, mesh: Mesh,
         return shard_stream_axis(mesh, batched, axis)
 
     return make_states, run
+
+
+def batched_replay_vip(cam, cfg, kf_cap: int, pt_cap: int, mesh: Mesh,
+                       axis: str = "stream"):
+    """Batched replay of the FLAGSHIP visual-inertial-pressure tracker —
+    the system the paper is about (reference: the whole of
+    src/Tracking.cc + src/LocalMapping.cc:89-709) — vmapped over N
+    independent streams and sharded over the mesh. Each stream runs the
+    complete VIP step: mono bootstrap, on-device TryInitVIO
+    (gyro bias + gravity + pressure scale), VI(P) tracking with the
+    depth-projected factor, VI window BA, recovery.
+
+    Returns (make_states, run):
+      states0 = make_states(n_streams)
+      stf, outs, fleet = run(states0, bundles)   # bundles leaves [S, T, ...]
+
+    `fleet` = (total WORKING frames, total VIO-initialized streams),
+    psum-style reduced across the mesh once per replay.
+    """
+    from uvipslam_tpu.frontend.device_vip import build_vip_tracker, init_vip_state
+    from uvipslam_tpu.frontend.tracker import WORKING
+
+    _, step = build_vip_tracker(cam, cfg, kf_cap, pt_cap)
+    raw_step = step.__wrapped__
+
+    def one_stream(st, bundles):
+        return jax.lax.scan(raw_step, st, bundles)
+
+    @jax.jit
+    def run(states, bundles):
+        stf, outs = jax.vmap(one_stream)(states, bundles)
+        fleet = (jnp.sum((outs.state == WORKING).astype(jnp.int32)),
+                 jnp.sum(stf.vio_ok.astype(jnp.int32)))
+        return stf, outs, fleet
+
+    def make_states(n_streams: int):
+        st0 = init_vip_state(cfg, kf_cap, pt_cap, cam.height, cam.width)
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), st0
+        )
+        batched = dataclasses.replace(
+            batched,
+            key=jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(0), jnp.arange(n_streams)),
+        )
+        return shard_stream_axis(mesh, batched, axis)
+
+    return make_states, run
