@@ -1012,12 +1012,21 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
     pw = m.pt_xyz[pid]
     inv_sig = 1.0 / scale_sigmas[jnp.clip(tracks.level, 0, scale_sigmas.shape[0] - 1)]
 
+    # seed solve: 2 rounds x 2 LM steps (robust round + chi2 re-gate +
+    # clean round). Its main consumer is the re-association window below
+    # (the joint vi2 solve re-estimates the state); the IMU-predicted
+    # pose is already within a few px, so a short refine positions the
+    # 9 px search window — but the robust round and inter-round gate must
+    # stay: they are what keeps a mistracked association from skewing
+    # the window. The serial LM chain is the VIP device-time bottleneck
+    # (profiled: the while-loop category is ~80% of step time), so every
+    # iteration here is ~2% of the frame budget.
     ns1, inl1, n1, _ = pose_optimization_vi(
         ns_pred, ns_ref, pre_frame, pw, tracks.xy_und,
         has_pt & m.pt_valid[pid], inv_sig, gravity, Rcb, tcb,
         fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_meas=depth, depth_info=depth_info,
-        use_depth=True, rounds=2, iters=3,
+        use_depth=True, rounds=2, iters=2,
     )
 
     # local-map re-association at the refined pose
@@ -1054,7 +1063,7 @@ def __vi_track_impl(tracks, m, ns_pred, ns_ref, pre_frame, gravity,
         1.0 / scale_sigmas[jnp.clip(tracks2.level, 0, scale_sigmas.shape[0] - 1)],
         gravity, Rcb, tcb, fx, fy, cx, cy, gyr_rw2, acc_rw2,
         depth_meas=depth, depth_info=depth_info, use_depth=True,
-        rounds=2, iters=5,
+        rounds=2, iters=3,
     )
 
     # sever hopeless associations only
